@@ -2,20 +2,28 @@
 
 Multi-chip sharding is validated on a virtual 8-device CPU mesh (no TPU pod is
 needed for correctness); bench.py / the CLI run on real TPU hardware instead.
-This must run before jax is imported anywhere in the test process.
+
+Note: this environment preloads an 'axon' TPU plugin via sitecustomize and
+pins JAX_PLATFORMS=axon, so the env var alone cannot force CPU -- we must
+update jax.config after import (XLA_FLAGS still has to be set before the
+backend initializes, hence before the first jax.devices() call).
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
 
