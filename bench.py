@@ -1,0 +1,57 @@
+"""Benchmark: batched MiMC-STARK verifications/s on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline (BASELINE.md): the reference publishes no numbers; the measured
+stand-in is the session's independent single-core Python oracle at 0.18 s per
+full verification (5.56 proofs/s).  vs_baseline = throughput / 5.56.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PROOFS_PER_S = 1 / 0.18  # Python oracle, 1 CPU core (BASELINE.md)
+
+
+def main():
+    import jax
+    import stark_verifier_tpu as sv
+    sv.enable_compile_cache()
+    from stark_verifier_tpu.config import StarkConfig
+    from stark_verifier_tpu.proofio import wire, device
+    from stark_verifier_tpu.protocol import verify as V
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    with open("/root/reference/proof.bin", "rb") as f:
+        proof_bytes = f.read()
+    tree = device.proof_tree(wire.parse_proof_fast(proof_bytes))
+    tree = device.to_device(device.replicate_proof(tree, batch))
+
+    fn, _ = V.make_verifier(StarkConfig())
+    verdicts = np.asarray(fn(tree))  # compile + warm
+    assert verdicts.all(), "golden proof rejected -- refusing to bench"
+
+    times = []
+    for _ in range(iters):
+        t = time.perf_counter()
+        jax.block_until_ready(fn(tree))
+        times.append(time.perf_counter() - t)
+    p50 = float(np.percentile(times, 50))
+    throughput = batch / p50
+
+    print(json.dumps({
+        "metric": "batched MiMC-STARK verifications/s (1 chip)",
+        "value": round(throughput, 2),
+        "unit": "proofs/s",
+        "vs_baseline": round(throughput / BASELINE_PROOFS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -9,3 +9,34 @@ FRI + constraint checks, and batch sharding over device meshes.
 from .fp import MODULUS, EXTENSION_FACTOR  # noqa: F401
 
 __version__ = "0.1.0"
+
+
+def enable_compile_cache(path: str = "/root/repo/.jax_cache") -> None:
+    """Enable JAX's persistent compilation cache (the full-verifier graph is
+    expensive to compile, especially through remote-compile TPU tunnels)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def verify_proof_bytes(proof_bytes: bytes, inp: int = 3,
+                       log_steps: int = 13) -> bool:
+    """Parse + verify one serialized proof; malformed input rejects.
+
+    Library facade mirroring the reference cdylib entry point
+    (reference: /root/reference/src/lib.rs:99 pub verify_mimc_proof, plus the
+    main() driver's parse/MiMC recompute, main.rs:199-227).  For batched
+    verification use protocol.verify.make_verifier directly.
+    """
+    import numpy as np
+    from .config import StarkConfig
+    from .proofio import wire, device
+    from .protocol import verify as V
+
+    cfg = StarkConfig(log_steps=log_steps)
+    try:
+        tree = device.to_device(device.proof_tree(wire.parse_proof(proof_bytes)))
+    except wire.WireFormatError:
+        return False
+    fn, _ = V.make_verifier(cfg, inp=inp)
+    return bool(np.asarray(fn(tree)))

@@ -1,0 +1,131 @@
+"""Command-line driver, mirroring the reference binary's behavior.
+
+Reference: /root/reference/src/main.rs:199-227 -- reads proof.bin, recomputes
+the MiMC output, verifies, prints phase timings and `proof verified`.  This
+CLI adds what the hardcoded binary lacks (SURVEY.md section 5 config item):
+a proof path argument, batch mode, strictness and profiling flags, and a
+nonzero exit code on rejection instead of a panic.
+
+Usage:
+  python -m stark_verifier_tpu.cli verify [PROOF.bin] [--batch N] [--profile]
+  python -m stark_verifier_tpu.cli bench  [PROOF.bin] [--batch N] [--iters K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+
+import numpy as np
+
+log = logging.getLogger("stark_verifier_tpu")
+
+
+def _build_parser():
+    ap = argparse.ArgumentParser(prog="stark_verifier_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("verify", "bench"):
+        sp = sub.add_parser(name)
+        sp.add_argument("proof", nargs="?", default="proof.bin",
+                        help="path to serialized proof (default: ./proof.bin)")
+        sp.add_argument("--batch", type=int, default=1,
+                        help="replicate the proof to a batch of this size")
+        sp.add_argument("--input", type=int, default=3,
+                        help="MiMC input (reference hardcodes 3, main.rs:206)")
+        sp.add_argument("--log-steps", type=int, default=13)
+        sp.add_argument("--profile", action="store_true",
+                        help="dump a jax.profiler trace to ./trace")
+        if name == "bench":
+            sp.add_argument("--iters", type=int, default=20)
+    return ap
+
+
+def _prepare(args):
+    import jax
+    import stark_verifier_tpu as sv
+    sv.enable_compile_cache()
+    from stark_verifier_tpu.config import StarkConfig
+    from stark_verifier_tpu.proofio import wire, device
+    from stark_verifier_tpu.protocol import verify as V
+
+    cfg = StarkConfig(log_steps=args.log_steps)
+    t0 = time.perf_counter()
+    with open(args.proof, "rb") as f:
+        proof_bytes = f.read()
+    try:
+        parsed = wire.parse_proof_fast(proof_bytes)
+    except wire.WireFormatError as e:
+        print(f"malformed proof: {e}", file=sys.stderr)
+        sys.exit(2)
+    tree = device.proof_tree(parsed)
+    if args.batch > 1:
+        tree = device.replicate_proof(tree, args.batch)
+    tree = device.to_device(tree)
+    t_parse = time.perf_counter() - t0
+
+    fn, _tables = V.make_verifier(cfg, inp=args.input)
+    return jax, fn, tree, t_parse
+
+
+def cmd_verify(args):
+    jax, fn, tree, t_parse = _prepare(args)
+
+    t1 = time.perf_counter()
+    verdicts = np.asarray(fn(tree))
+    t_verify = time.perf_counter() - t1
+
+    if args.profile:
+        with jax.profiler.trace("./trace"):
+            np.asarray(fn(tree))
+
+    n = max(args.batch, 1)
+    ok = bool(verdicts.all())
+    print(f"parse + stage time: {t_parse * 1e3:.1f} ms")
+    print(f"verification time (jit compile + run, batch={n}): "
+          f"{t_verify * 1e3:.1f} ms")
+    if ok:
+        print("proof verified")
+        return 0
+    bad = np.flatnonzero(~np.atleast_1d(verdicts))
+    print(f"proof REJECTED (batch indices: {bad.tolist()})")
+    return 1
+
+
+def cmd_bench(args):
+    jax, fn, tree, _ = _prepare(args)
+    verdicts = np.asarray(fn(tree))  # compile + warm
+    if not verdicts.all():
+        print("proof rejected; refusing to bench a failing verify", file=sys.stderr)
+        return 1
+    n = max(args.batch, 1)
+    times = []
+    for _ in range(args.iters):
+        t = time.perf_counter()
+        r = fn(tree)
+        jax.block_until_ready(r)
+        times.append(time.perf_counter() - t)
+    times = np.array(times)
+    result = {
+        "batch": n,
+        "iters": args.iters,
+        "p50_ms": float(np.percentile(times, 50) * 1e3),
+        "proofs_per_s": float(n / np.percentile(times, 50)),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+    args = _build_parser().parse_args(argv)
+    if args.cmd == "verify":
+        return cmd_verify(args)
+    return cmd_bench(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

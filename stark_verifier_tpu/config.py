@@ -1,0 +1,120 @@
+"""Typed configuration for a STARK statement family.
+
+The reference hardcodes every parameter (reference: /root/reference/src/
+main.rs:28-29,113-123,205: modulus, extension factor 8, 2^13 steps, 64 round
+constants, 80 spot checks, 40 FRI queries, plus literal guards pinning G2 and
+the quartic root).  Here the same quantities live in one dataclass whose
+defaults reproduce the reference exactly; derived device tables (power-of-two
+tables for data-dependent exponents, FRI level roots, zeropoly) are
+precomputed host-side once per statement family and reused across batches.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field as dfield
+
+import numpy as np
+
+from . import fp
+
+
+@dataclass(frozen=True)
+class StarkConfig:
+    modulus: int = fp.MODULUS
+    extension_factor: int = fp.EXTENSION_FACTOR
+    log_steps: int = 13
+    num_constants: int = 64
+    spot_checks: int = 80          # reference: src/main.rs:148
+    fri_queries: int = 40          # reference: src/main.rs:56
+    strict: bool = False           # False = bit-exact parity with the
+                                   # reference's soundness gaps (SURVEY 2.2.10)
+
+    @property
+    def num_steps(self) -> int:
+        return 1 << self.log_steps
+
+    @property
+    def precision(self) -> int:
+        return self.num_steps * self.extension_factor
+
+    @property
+    def skips(self) -> int:
+        return self.precision // self.num_steps
+
+    @property
+    def skips2(self) -> int:
+        return self.num_steps // self.num_constants
+
+    @property
+    def fri_levels(self) -> int:
+        # the prover folds by 4 until degree <= 16: log4(num_steps*2/16)
+        n, lv = self.num_steps * 2, 0
+        while n > 16:
+            n //= 4
+            lv += 1
+        return lv
+
+    def sanity_ok(self, num_constants: int | None = None) -> bool:
+        """The reference's input prechecks (src/main.rs:101-111) -- the only
+        failures that return false rather than panic."""
+        nc = self.num_constants if num_constants is None else num_constants
+        def pow2(x):
+            return x != 0 and (x & (x - 1)) == 0
+        return (self.num_steps <= 2**32 // self.extension_factor
+                and pow2(self.num_steps) and pow2(nc)
+                and nc <= self.num_steps)
+
+
+class StatementTables:
+    """Host-precomputed constants for one statement family (shared by every
+    proof in a batch; all pure functions of StarkConfig)."""
+
+    def __init__(self, cfg: StarkConfig):
+        self.cfg = cfg
+        m = cfg.modulus
+        self.G2 = pow(7, (m - 1) // cfg.precision, m)   # main.rs:114
+        self.G1 = pow(self.G2, cfg.skips, m)
+        prec_bits = cfg.precision.bit_length() - 1
+        self.g2_pow2 = fp.pow2_table(self.G2, prec_bits)          # [17?, 16]
+        # per-FRI-level root of unity (G2^(4^level)) + pow2 tables for the
+        # <= rou_deg/4 exponents of column indices (main.rs:73-80, 88)
+        self.level_rous = []
+        self.level_pow2 = []
+        self.level_moduli = []     # rou_deg/4 per level (PRG domain + offset)
+        rou = self.G2
+        rd = cfg.precision
+        bits0 = max((cfg.precision // 4 - 1).bit_length(), 1)
+        for _ in range(cfg.fri_levels):
+            self.level_rous.append(rou)
+            self.level_pow2.append(fp.pow2_table(rou, bits0))
+            self.level_moduli.append(rd // 4)
+            rou = pow(rou, 4, m)
+            rd //= 4
+        # stacked for the scanned FRI walk: [levels, bits0, 16] / [levels]
+        self.level_pow2_stacked = np.stack(self.level_pow2)
+        self.level_moduli_np = np.array(self.level_moduli, dtype=np.uint32)
+        # quartic roots of unity -- computed ONCE from the top-level domain
+        # and (faithfully to the reference) stale for later levels
+        # (main.rs:43-48; SURVEY 2.2.5)
+        rd0 = cfg.precision
+        self.quartic_rous = fp.ints_to_limbs([
+            1,
+            pow(self.G2, rd0 // 4, m),
+            pow(self.G2, rd0 // 2, m),
+            pow(self.G2, rd0 * 3 // 4, m),
+        ])
+        self.last_step_position = pow(self.G2, (cfg.num_steps - 1) * cfg.skips, m)
+        # zeropoly2 = (x - 1)(x - last) = [last, -(1+last), 1]  (main.rs:185)
+        self.zeropoly2 = fp.ints_to_limbs([
+            self.last_step_position % m,
+            (-(1 + self.last_step_position)) % m,
+            1,
+        ])
+        # constants mini-polynomial domain root: G2^(ext*skips2) (main.rs:124)
+        self.minipoly_root = pow(self.G2, cfg.extension_factor * cfg.skips2, m)
+
+
+@functools.lru_cache(maxsize=8)
+def default_tables() -> StatementTables:
+    return StatementTables(StarkConfig())

@@ -1,0 +1,176 @@
+/* Native wire-format parser for serialized MiMC-STARK proofs.
+ *
+ * C equivalent of the reference's Rust deserializer
+ * (reference: /root/reference/src/deserializer.rs:16-144) -- a single linear
+ * scan over the byte stream.  Two entry points:
+ *
+ *   svt_scan(buf, len, meta)  -- validate + extract group metadata
+ *   svt_fill(buf, len, ...)   -- copy values/siblings/witnesses into
+ *                                caller-allocated struct-of-arrays buffers
+ *
+ * The Python side (native/__init__.py) drives both via ctypes: scan sizes the
+ * numpy arrays, fill populates them.  Branch groups must be rectangular
+ * (uniform value size + witness depth within a MultiProof), matching the
+ * fixed-shape device layout; ragged input returns an error code.
+ *
+ * Error codes: 0 ok; 1 truncated; 2 bad tag; 3 bad size field; 4 ragged
+ * group; 5 trailing bytes; 6 too many levels; 7 meta buffer too small.
+ */
+
+#include <stdint.h>
+#include <string.h>
+#include <stddef.h>
+
+#define SVT_MAX_LEVELS 64
+
+typedef struct {
+    const uint8_t *p;
+    size_t off, len;
+} rdr;
+
+static int rd_bytes(rdr *r, size_t n, const uint8_t **out) {
+    if (r->off + n > r->len) return 1;
+    *out = r->p + r->off;
+    r->off += n;
+    return 0;
+}
+
+static int rd_u32(rdr *r, uint32_t *out) {
+    const uint8_t *b;
+    if (rd_bytes(r, 4, &b)) return 1;
+    *out = (uint32_t)b[0] | ((uint32_t)b[1] << 8)
+         | ((uint32_t)b[2] << 16) | ((uint32_t)b[3] << 24);
+    return 0;
+}
+
+/* Walk one MultiProof; record n/vsize/depth; optionally copy data.
+ * values/siblings: n*vsize bytes each; witnesses: n*depth*32 bytes. */
+static int walk_group(rdr *r, uint32_t *n_out, uint32_t *vsize_out,
+                      uint32_t *depth_out,
+                      uint8_t *values, uint8_t *siblings, uint8_t *wits) {
+    uint32_t n, vsize0 = 0, depth0 = 0;
+    if (rd_u32(r, &n)) return 1;
+    if (n == 0 || n > (1u << 20)) return 3;
+    for (uint32_t i = 0; i < n; i++) {
+        uint32_t vsize, wsize;
+        const uint8_t *v, *s, *w;
+        if (rd_u32(r, &vsize)) return 1;
+        if (vsize == 0 || vsize % 32) return 3;
+        if (i == 0) vsize0 = vsize;
+        else if (vsize != vsize0) return 4;
+        if (rd_bytes(r, vsize, &v)) return 1;
+        if (rd_bytes(r, vsize, &s)) return 1;
+        if (rd_u32(r, &wsize)) return 1;
+        if (wsize % 32) return 3;
+        uint32_t depth = wsize / 32;
+        if (i == 0) depth0 = depth;
+        else if (depth != depth0) return 4;
+        if (rd_bytes(r, wsize, &w)) return 1;
+        if (values)   memcpy(values + (size_t)i * vsize0, v, vsize0);
+        if (siblings) memcpy(siblings + (size_t)i * vsize0, s, vsize0);
+        if (wits)     memcpy(wits + (size_t)i * depth0 * 32, w, (size_t)depth0 * 32);
+    }
+    *n_out = n; *vsize_out = vsize0; *depth_out = depth0;
+    return 0;
+}
+
+/* meta layout (int64): [0]=n_levels, [1]=n_points,
+ * then per level: col_n, col_vsize, col_depth, poly_n, poly_vsize, poly_depth
+ * then: main_n, main_vsize, main_depth, lin_n, lin_vsize, lin_depth
+ * meta_cap = capacity in int64 entries. */
+int svt_scan(const uint8_t *buf, size_t len, int64_t *meta, size_t meta_cap) {
+    rdr r = {buf, 0, len};
+    const uint8_t *tmp;
+    uint32_t g[3];
+    if (meta_cap < 2) return 7;
+    if (rd_bytes(&r, 64, &tmp)) return 1;   /* roots */
+    int64_t n_levels = 0, n_points = 0;
+    size_t mi = 2;
+    for (;;) {
+        uint32_t tag;
+        if (rd_u32(&r, &tag)) return 1;
+        if (tag == 1) {
+            if (n_levels >= SVT_MAX_LEVELS) return 6;
+            if (mi + 6 > meta_cap) return 7;
+            if (rd_bytes(&r, 32, &tmp)) return 1;   /* root2 */
+            for (int k = 0; k < 2; k++) {
+                int rc = walk_group(&r, &g[0], &g[1], &g[2], 0, 0, 0);
+                if (rc) return rc;
+                meta[mi++] = g[0]; meta[mi++] = g[1]; meta[mi++] = g[2];
+            }
+            n_levels++;
+        } else if (tag == 2) {
+            uint32_t psize;
+            if (rd_u32(&r, &psize)) return 1;
+            if (psize == 0 || psize % 32) return 3;
+            if (rd_bytes(&r, psize, &tmp)) return 1;
+            n_points = psize / 32;
+            break;
+        } else {
+            return 2;
+        }
+    }
+    if (mi + 6 > meta_cap) return 7;
+    for (int k = 0; k < 2; k++) {
+        int rc = walk_group(&r, &g[0], &g[1], &g[2], 0, 0, 0);
+        if (rc) return rc;
+        meta[mi++] = g[0]; meta[mi++] = g[1]; meta[mi++] = g[2];
+    }
+    if (r.off != len) return 5;
+    meta[0] = n_levels;
+    meta[1] = n_points;
+    return 0;
+}
+
+/* Fill pass.  Caller passes per-level buffer pointer tables (arrays of
+ * pointers, one per level) plus flat buffers for roots/points/main/lincomb.
+ * All buffers sized from svt_scan's meta. */
+int svt_fill(const uint8_t *buf, size_t len,
+             uint8_t *merkle_root, uint8_t *l_merkle_root,
+             uint8_t **root2, /* [n_levels][32] */
+             uint8_t **col_values, uint8_t **col_siblings, uint8_t **col_wits,
+             uint8_t **poly_values, uint8_t **poly_siblings, uint8_t **poly_wits,
+             uint8_t *points,
+             uint8_t *main_values, uint8_t *main_siblings, uint8_t *main_wits,
+             uint8_t *lin_values, uint8_t *lin_siblings, uint8_t *lin_wits) {
+    rdr r = {buf, 0, len};
+    const uint8_t *tmp;
+    uint32_t g[3];
+    if (rd_bytes(&r, 32, &tmp)) return 1;
+    memcpy(merkle_root, tmp, 32);
+    if (rd_bytes(&r, 32, &tmp)) return 1;
+    memcpy(l_merkle_root, tmp, 32);
+    int64_t lvl = 0;
+    for (;;) {
+        uint32_t tag;
+        if (rd_u32(&r, &tag)) return 1;
+        if (tag == 1) {
+            if (lvl >= SVT_MAX_LEVELS) return 6;
+            if (rd_bytes(&r, 32, &tmp)) return 1;
+            memcpy(root2[lvl], tmp, 32);
+            int rc = walk_group(&r, &g[0], &g[1], &g[2],
+                                col_values[lvl], col_siblings[lvl], col_wits[lvl]);
+            if (rc) return rc;
+            rc = walk_group(&r, &g[0], &g[1], &g[2],
+                            poly_values[lvl], poly_siblings[lvl], poly_wits[lvl]);
+            if (rc) return rc;
+            lvl++;
+        } else if (tag == 2) {
+            uint32_t psize;
+            if (rd_u32(&r, &psize)) return 1;
+            if (rd_bytes(&r, psize, &tmp)) return 1;
+            memcpy(points, tmp, psize);
+            break;
+        } else {
+            return 2;
+        }
+    }
+    int rc = walk_group(&r, &g[0], &g[1], &g[2],
+                        main_values, main_siblings, main_wits);
+    if (rc) return rc;
+    rc = walk_group(&r, &g[0], &g[1], &g[2],
+                    lin_values, lin_siblings, lin_wits);
+    if (rc) return rc;
+    if (r.off != len) return 5;
+    return 0;
+}

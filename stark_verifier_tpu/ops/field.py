@@ -38,26 +38,72 @@ def const(x: int) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Word/byte views
+# ---------------------------------------------------------------------------
+
+def bswap32(w: jnp.ndarray) -> jnp.ndarray:
+    """Byte-swap uint32 lanes (LE word <-> BE 4-byte read)."""
+    return (((w & 0xFF) << 24) | ((w & 0xFF00) << 8)
+            | ((w >> 8) & 0xFF00) | (w >> 24))
+
+
+def words_be_to_limbs(words: jnp.ndarray) -> jnp.ndarray:
+    """[..., 8] uint32 LE words of a 32-byte big-endian value -> [..., 16] limbs.
+
+    Proof values are 32-byte big-endian ints (reference: src/main.rs:171-174);
+    the hash view stores them as LE words.  bswap each word (making it the
+    value of its 4-byte BE group), reverse group order, then split into
+    16-bit limbs.
+    """
+    sw = bswap32(words)[..., ::-1]        # group 0 = least significant 32 bits
+    lo = sw & MASK
+    hi = sw >> 16
+    return jnp.stack([lo, hi], axis=-1).reshape(*words.shape[:-1], 16)
+
+
+def limbs_to_words_be(limbs: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of words_be_to_limbs: [..., 16] limbs -> [..., 8] LE words of
+    the 32-byte big-endian encoding."""
+    pairs = limbs.reshape(*limbs.shape[:-1], 8, 2)
+    sw = pairs[..., 0] | (pairs[..., 1] << 16)   # LE 32-bit groups
+    return bswap32(sw[..., ::-1])
+
+
+# ---------------------------------------------------------------------------
 # Carry normalization
 # ---------------------------------------------------------------------------
 
 def _carry_fix(v: jnp.ndarray) -> jnp.ndarray:
-    """Normalize limbs to < 2^16, rippling carries upward.
+    """Normalize limbs to < 2^16 (arithmetic mod 2^(16*n): carries off the top
+    limb are dropped).  Input limbs must be < 2^27.
 
-    Input limbs may hold up to 32-bit values; the total value must fit in the
-    buffer (carries off the top limb are dropped, i.e. arithmetic is mod
-    2^(16*n)).  Runs a data-dependent number of vectorized passes via
-    while_loop -- typically 2, worst case n for a full ripple chain.
+    Deterministic and control-flow-free: one reduction pass brings every limb
+    to lo_i <= 0xFFFF with an incoming carry c_i < 2^11; the remaining
+    two-vector add is resolved exactly with a Kogge-Stone generate/propagate
+    prefix (log2(n) steps) -- the worst-case ...FFFF ripple chain that a
+    fixed number of naive passes cannot close is handled by the propagate
+    chain.  ~25 vector ops, no while_loop (compiles far faster and maps
+    cleanly onto the VPU).
     """
-    def cond(v):
-        return jnp.any(v > MASK)
-
-    def body(v):
-        c = v >> 16
-        v = v & MASK
-        return v.at[..., 1:].add(c[..., :-1])
-
-    return lax.while_loop(cond, body, v)
+    n = v.shape[-1]
+    # pass 1: split into low parts and single-step carries
+    c = v >> 16                      # < 2^11 given v < 2^27
+    lo = v & MASK
+    s = lo.at[..., 1:].add(c[..., :-1])     # s_i <= 0xFFFF + 2^11 - 1 < 2^17
+    # exact finish: s_i = t_i + 2^16*g0_i; add carries via prefix
+    g = (s >> 16).astype(jnp.bool_)         # generate (s_i >= 2^16)
+    t = s & MASK
+    p = t == MASK                           # propagate (t_i == 0xFFFF)
+    # Kogge-Stone on (g, p): carry into limb i+1 = g_i | (p_i & carry_i)
+    shift = 1
+    while shift < n:
+        g_prev = jnp.zeros_like(g).at[..., shift:].set(g[..., :-shift])
+        p_prev = jnp.zeros_like(p).at[..., shift:].set(p[..., :-shift])
+        g = g | (p & g_prev)
+        p = p & p_prev
+        shift *= 2
+    carry_in = jnp.zeros_like(g).at[..., 1:].set(g[..., :-1])
+    return (t + carry_in.astype(jnp.uint32)) & MASK
 
 
 def _carry_fix_fixed(v: jnp.ndarray, passes: int) -> jnp.ndarray:
@@ -255,10 +301,11 @@ def pow_const(x: jnp.ndarray, e: int) -> jnp.ndarray:
 
 
 def pow2k(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """x^(2^k) mod p (k static squarings)."""
-    for _ in range(k):
-        x = sqr_mod(x)
-    return x
+    """x^(2^k) mod p (k squarings under fori_loop -- one squaring in the
+    compiled graph)."""
+    if k == 0:
+        return x
+    return lax.fori_loop(0, k, lambda _, v: sqr_mod(v), x)
 
 
 def pow_bits(x: jnp.ndarray, bits_msb_first) -> jnp.ndarray:
@@ -289,12 +336,17 @@ def pow_table(table: jnp.ndarray, e: jnp.ndarray, nbits: int) -> jnp.ndarray:
     """base^e with host-precomputed table[i] = base^(2^i) (see fp.pow2_table).
 
     table: [nbits, 16]; e: [...] uint32 exponent (< 2^nbits). Returns [..., 16].
+    Scanned over bits -- one multiply in the compiled graph.
     """
     r = jnp.broadcast_to(const(1), e.shape + (NLIMBS,)).astype(jnp.uint32)
-    for i in range(nbits):
-        bit = ((e >> i) & 1).astype(bool)
-        m = mul_mod(r, table[i])
-        r = jnp.where(bit[..., None], m, r)
+    bits = jnp.stack([((e >> i) & 1).astype(bool) for i in range(nbits)])
+
+    def step(r, xs):
+        bit, tab = xs
+        m = mul_mod(r, tab)
+        return jnp.where(bit[..., None], m, r), None
+
+    r, _ = lax.scan(step, r, (bits, table[:nbits]))
     return r
 
 
@@ -344,18 +396,20 @@ def batch_inv(v: jnp.ndarray, axis: int = -2) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def eval_poly(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Evaluate sum_i coeffs[i] * x^i mod p.
+    """Evaluate sum_i coeffs[i] * x^i mod p (Horner scan over coefficients).
 
-    coeffs: [n, 16] (shared); x: [..., 16].  Powers are built with log-depth
-    doubling (6 batched muls for n=64) then a product+tree-sum; matches the
-    reference's sequential accumulation mathematically
-    (reference: src/utils.rs:126-136 eval_poly_at).
+    coeffs: [n, 16] (shared); x: [..., 16] canonical.  Same residue as the
+    reference's power-accumulation loop (src/utils.rs:126-136 eval_poly_at);
+    one multiply in the compiled graph.
     """
-    n = coeffs.shape[0]
-    # powers[..., i, :] = x^i
-    pows = _powers(x, n)
-    terms = mul_mod(pows, coeffs)          # [..., n, 16]
-    return _sum_mod(terms, axis=-2)
+    rev = coeffs[::-1]
+    acc = jnp.broadcast_to(canon(rev[0]), x.shape).astype(jnp.uint32)
+
+    def step(acc, c):
+        return add_mod(mul_mod(acc, x), jnp.broadcast_to(canon(c), x.shape)), None
+
+    acc, _ = lax.scan(step, acc, rev[1:])
+    return acc
 
 
 def _powers(x: jnp.ndarray, n: int) -> jnp.ndarray:

@@ -1,0 +1,97 @@
+"""Batched Merkle multiproof verification on device.
+
+TPU-native equivalent of the reference's sequential branch walker
+(reference: /root/reference/src/merkle_tree.rs:25-44,101-172): all branches of
+a group verify in lockstep -- one batched Blake2s compression per tree level
+via lax.scan -- instead of one hash at a time.
+
+Bit-exactness quirks replicated (SURVEY.md section 2.2.1):
+  * leaf shuffle: with w witnesses, ld4 = 2^(w+1)/4 and the permuted index is
+    (x / ld4) + 4*(x mod ld4)                        (merkle_tree.rs:112-116)
+  * the start tree index is 2^(w+2) + permuted (NOT the textbook 2^(w+1)), so
+    the value/sibling pairing order uses the *index* parity
+                                                     (merkle_tree.rs:120-141)
+  * each witness level pairs by the halved tree index's parity
+                                                     (merkle_tree.rs:145-163)
+
+The witness depth may be a static int or a traced uint32 scalar/array: witness
+arrays are padded to their last-axis size and steps beyond `depth` are masked
+out (needed so all FRI levels -- depths 15 down to 5 -- share one scanned
+level body).  Instead of asserting on mismatch (merkle_tree.rs:165), returns
+a per-branch boolean verdict so batched verification can reject without
+aborting.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import blake2s
+
+
+def verify_branches(root_words: jnp.ndarray,
+                    indices: jnp.ndarray,
+                    value_words: jnp.ndarray,
+                    sibling_words: jnp.ndarray,
+                    witness_words: jnp.ndarray,
+                    depth):
+    """Verify a group of Merkle branches against a root.
+
+    root_words:    [..., 8] uint32 (broadcast over the branch axis) -- the
+                   expected root, or [..., n, 8] for per-branch roots.
+    indices:       [..., n] uint32 leaf indices (pre-permutation).
+    value_words:   [..., n, vw] uint32 (vw = 8 for 32-byte leaves, 24 for the
+                   96-byte main-trace leaves).
+    sibling_words: [..., n, vw] uint32.
+    witness_words: [..., n, max_depth, 8] uint32 (zero-padded past `depth`).
+    depth:         actual witness count -- python int, or a traced uint32
+                   scalar broadcastable against the branch axis.
+
+    Returns (ok [..., n] bool, value_words passthrough) -- mirroring
+    MultiProof::verify returning the leaf values (merkle_tree.rs:25-44).
+    """
+    max_depth = witness_words.shape[-2]
+    d = jnp.asarray(depth, dtype=jnp.uint32)
+    if d.ndim and d.ndim < indices.ndim:
+        # batched group-level depth [..] -> broadcast over the branch axis
+        d = d[..., None]
+
+    ld4 = (jnp.uint32(1) << (d - 1))            # 2^(w+1) / 4
+    idx = (indices // ld4) + 4 * (indices % ld4)
+    tree_index = (jnp.uint32(1) << (d + 2)) + idx
+
+    odd = (tree_index & 1).astype(bool)[..., None]
+    first_a = jnp.where(odd, sibling_words, value_words)
+    first_b = jnp.where(odd, value_words, sibling_words)
+    res = blake2s.hash_leaf_pair(first_a, first_b)      # [..., n, 8]
+    tree_index = tree_index >> 1
+
+    if max_depth > 0:
+        # scan over tree levels: witnesses to leading axis [max_depth, ..., n, 8]
+        wit = jnp.moveaxis(witness_words, -2, 0)
+        steps = jnp.arange(max_depth, dtype=jnp.uint32)
+
+        def step(carry, xs):
+            res, ti = carry
+            w_t, t = xs
+            odd = (ti & 1).astype(bool)[..., None]
+            a = jnp.where(odd, w_t, res)
+            b = jnp.where(odd, res, w_t)
+            nres = blake2s.hash_pair(a, b)
+            active = (t < d)
+            res = jnp.where(jnp.broadcast_to(active, res.shape[:-1])[..., None],
+                            nres, res)
+            ti = jnp.where(active, ti >> 1, ti)
+            return (res, ti), None
+
+        (res, _), _ = lax.scan(step, (res, tree_index), (wit, steps))
+
+    if root_words.ndim < res.ndim:
+        root_words = root_words[..., None, :]
+    ok = jnp.all(res == root_words, axis=-1)
+    return ok, value_words
+
+
+verify_branches_jit = jax.jit(verify_branches, static_argnames=("depth",))

@@ -1,0 +1,40 @@
+"""MiMC permutation on device (the statement's trace-output recompute).
+
+Reference: /root/reference/src/utils.rs:8-16 -- note the reference iterates
+steps-1 times (utils.rs:11), i.e. the trace has `steps` states and steps-1
+transitions (SURVEY.md section 2.2.9).  Implemented as a lax.scan of the
+cube-and-add round over the cycled round-constant sequence; this same scan is
+the trace generator a future prover would batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from .. import fp
+from . import field as F
+
+
+def mimc(inp: jnp.ndarray, steps: int, round_constants: jnp.ndarray) -> jnp.ndarray:
+    """inp: [..., 16] canonical; round_constants: [k, 16]. Returns [..., 16].
+
+    Computes steps-1 rounds of x <- x^3 + c_{i mod k} (mod p).
+    """
+    k = round_constants.shape[0]
+    idx = np.arange(steps - 1, dtype=np.int32) % k
+    ks = jnp.take(round_constants, jnp.asarray(idx), axis=0)   # [steps-1, 16]
+
+    def round_(x, c):
+        x3 = F.mul_mod(F.mul_mod(x, x), x)
+        return F.add_mod(x3, jnp.broadcast_to(c, x.shape)), None
+
+    out, _ = lax.scan(round_, inp, ks)
+    return out
+
+
+def round_constants_mimc(n: int = 64) -> np.ndarray:
+    """(i^7) XOR 42 for i < n (reference: src/main.rs:209-212 -- BigInt pow
+    then bitwise XOR).  Host-side; returns [n, 16] uint32 limbs."""
+    return fp.ints_to_limbs([(i ** 7) ^ 42 for i in range(n)])

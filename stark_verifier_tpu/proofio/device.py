@@ -1,0 +1,83 @@
+"""Host->device staging of parsed proofs: pytrees + batch stacking.
+
+A proof becomes a nested dict of uint32 arrays (the Blake2s word view only;
+field-limb views are derived on device, see ops.field.words_be_to_limbs).
+All proofs of one statement family share shapes, so a batch is the same tree
+with a leading axis -- the unit the verifier vmaps/shards over.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .wire import ProofArrays, BranchGroup
+
+
+def _group_tree(g: BranchGroup) -> dict:
+    return {
+        "value": np.asarray(g.value_words),
+        "sibling": np.asarray(g.sibling_words),
+        "witness": np.asarray(g.witness_words),
+    }
+
+
+def _pad_witness(w: np.ndarray, max_depth: int) -> np.ndarray:
+    """[n, d, 8] -> [n, max_depth, 8] zero-padded (masked past d on device)."""
+    n, d, _ = w.shape
+    if d == max_depth:
+        return np.asarray(w)
+    out = np.zeros((n, max_depth, 8), dtype=np.uint32)
+    out[:, :d] = w
+    return out
+
+
+def proof_tree(p: ProofArrays) -> dict:
+    """One proof -> pytree of numpy arrays (no leading batch axis).
+
+    FRI levels are stacked along a leading level axis with witness arrays
+    padded to the deepest level, so the verifier's level walk is a single
+    lax.scan body instead of an unrolled per-level graph."""
+    lv = p.fri_levels
+    col_dmax = max(l.column.depth for l in lv)
+    poly_dmax = max(l.poly.depth for l in lv)
+    fri = {
+        "root2": np.stack([np.asarray(l.root2_words) for l in lv]),
+        "col_value": np.stack([np.asarray(l.column.value_words) for l in lv]),
+        "col_sibling": np.stack([np.asarray(l.column.sibling_words) for l in lv]),
+        "col_witness": np.stack([_pad_witness(np.asarray(l.column.witness_words),
+                                              col_dmax) for l in lv]),
+        "col_depth": np.array([l.column.depth for l in lv], dtype=np.uint32),
+        "poly_value": np.stack([np.asarray(l.poly.value_words) for l in lv]),
+        "poly_sibling": np.stack([np.asarray(l.poly.sibling_words) for l in lv]),
+        "poly_witness": np.stack([_pad_witness(np.asarray(l.poly.witness_words),
+                                               poly_dmax) for l in lv]),
+        "poly_depth": np.array([l.poly.depth for l in lv], dtype=np.uint32),
+    }
+    return {
+        "merkle_root": np.asarray(p.merkle_root_words),
+        "l_merkle_root": np.asarray(p.l_merkle_root_words),
+        "fri": fri,
+        "main": _group_tree(p.main),
+        "lincomb": _group_tree(p.lincomb),
+    }
+
+
+def stack_proofs(trees: list) -> dict:
+    """Stack single-proof trees into a batch tree with leading axis."""
+    import jax
+    return jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+
+def replicate_proof(tree: dict, batch: int) -> dict:
+    """Tile one proof tree to a batch (benchmarking/synthetic loads)."""
+    import jax
+    return jax.tree.map(
+        lambda x: np.broadcast_to(x[None], (batch,) + x.shape).copy(), tree)
+
+
+def to_device(tree: dict, sharding=None) -> dict:
+    import jax
+    if sharding is None:
+        return jax.tree.map(jnp.asarray, tree)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,180 @@
+"""Host-side wire-format parser: proof bytes -> fixed-shape device-ready arrays.
+
+Implements the reference's serialization (reference: /root/reference/src/
+deserializer.rs:16-144; format verified in SURVEY.md section 2.1):
+
+  StarkProof := merkle_root[32] || l_merkle_root[32]
+                ( tag=1 || root2[32] || column:MultiProof || poly:MultiProof )*
+                ( tag=2 || size:u32le || points[size] )        -- terminates
+                merkle_branches:MultiProof || linear_comb_branches:MultiProof
+  MultiProof  := n:u32le || Branch{n}
+  Branch      := vsize:u32le || value[vsize] || sibling[vsize]
+                 || wsize:u32le || witness[32][wsize/32]
+
+All length/tag prefixes are little-endian u32; field values are 32-byte
+big-endian ints.  The parser emits uint32 little-endian *word* arrays (the
+Blake2s view); the field-limb view is derived on device (see
+ops.field.words_be_to_limbs) so host->device transfer stays minimal.
+
+Branch groups are fixed-shape: within one MultiProof all branches must share
+value size and witness depth (true for every group in the MiMC proof family;
+ragged proofs would be padded per family config).  Malformed input raises
+WireFormatError -- the batched verifier maps parse failures to reject verdicts
+instead of panicking like the reference (SURVEY.md section 2.2.8).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+class WireFormatError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class BranchGroup:
+    """One MultiProof as struct-of-arrays.
+
+    value_words/sibling_words: [n, vw] uint32 (LE words; vw = vsize/4)
+    witness_words: [n, depth, 8] uint32
+    """
+    value_words: np.ndarray
+    sibling_words: np.ndarray
+    witness_words: np.ndarray
+
+    @property
+    def n(self) -> int:
+        return self.value_words.shape[0]
+
+    @property
+    def depth(self) -> int:
+        return self.witness_words.shape[1]
+
+    @property
+    def value_bytes(self) -> int:
+        return self.value_words.shape[1] * 4
+
+
+@dataclass(frozen=True)
+class FriLevel:
+    root2_words: np.ndarray      # [8] uint32
+    column: BranchGroup          # embedded-root tree (root2)
+    poly: BranchGroup            # verified against the previous level's root
+
+
+@dataclass(frozen=True)
+class ProofArrays:
+    merkle_root_words: np.ndarray    # [8] uint32
+    l_merkle_root_words: np.ndarray  # [8] uint32
+    fri_levels: list
+    points_words: np.ndarray         # [n_points, 8] uint32 (parsed, unused in
+                                     # parity mode -- reference discards them,
+                                     # deserializer.rs:47-59)
+    main: BranchGroup
+    lincomb: BranchGroup
+
+
+def _bytes_to_words(b: bytes) -> np.ndarray:
+    if len(b) % 4:
+        raise WireFormatError("byte length not word aligned")
+    return np.frombuffer(b, dtype="<u4").astype(np.uint32)
+
+
+class _Reader:
+    __slots__ = ("buf", "off")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.off = 0
+
+    def take(self, n: int) -> bytes:
+        if self.off + n > len(self.buf):
+            raise WireFormatError(
+                f"truncated proof: need {n} bytes at offset {self.off}")
+        b = self.buf[self.off:self.off + n]
+        self.off += n
+        return b
+
+    def u32(self) -> int:
+        return int.from_bytes(self.take(4), "little")
+
+
+def _parse_multiproof(r: _Reader) -> BranchGroup:
+    n = r.u32()
+    if n == 0 or n > 1 << 20:
+        raise WireFormatError(f"implausible branch count {n}")
+    values, siblings, witnesses = [], [], []
+    vsize0 = None
+    depth0 = None
+    for _ in range(n):
+        vsize = r.u32()
+        if vsize == 0 or vsize % 32:
+            raise WireFormatError(f"bad value size {vsize}")
+        if vsize0 is None:
+            vsize0 = vsize
+        elif vsize != vsize0:
+            raise WireFormatError("ragged value sizes within a MultiProof")
+        values.append(_bytes_to_words(r.take(vsize)))
+        siblings.append(_bytes_to_words(r.take(vsize)))
+        wsize = r.u32()
+        if wsize % 32:
+            raise WireFormatError("witness bytes not a multiple of 32")
+        depth = wsize // 32
+        if depth0 is None:
+            depth0 = depth
+        elif depth != depth0:
+            raise WireFormatError("ragged witness depths within a MultiProof")
+        witnesses.append(_bytes_to_words(r.take(wsize)).reshape(depth, 8))
+    return BranchGroup(
+        value_words=np.stack(values),
+        sibling_words=np.stack(siblings),
+        witness_words=np.stack(witnesses),
+    )
+
+
+def parse_proof(proof_bytes: bytes) -> ProofArrays:
+    """Parse one serialized proof. Raises WireFormatError on malformed input."""
+    r = _Reader(proof_bytes)
+    merkle_root = _bytes_to_words(r.take(32))
+    l_merkle_root = _bytes_to_words(r.take(32))
+
+    fri_levels = []
+    points = None
+    while True:
+        tag = r.u32()
+        if tag == 1:  # MERKLE level
+            root2 = _bytes_to_words(r.take(32))
+            column = _parse_multiproof(r)
+            poly = _parse_multiproof(r)
+            fri_levels.append(FriLevel(root2, column, poly))
+            if len(fri_levels) > 64:
+                raise WireFormatError("too many FRI levels")
+        elif tag == 2:  # POINTS -- terminates the FRI element loop
+            psize = r.u32()
+            if psize == 0 or psize % 32:
+                raise WireFormatError(f"bad points size {psize}")
+            points = _bytes_to_words(r.take(psize)).reshape(psize // 32, 8)
+            break
+        else:
+            raise WireFormatError(f"invalid proof element type {tag}")
+
+    main = _parse_multiproof(r)
+    lincomb = _parse_multiproof(r)
+    if r.off != len(proof_bytes):
+        raise WireFormatError(
+            f"{len(proof_bytes) - r.off} trailing bytes after proof")
+    return ProofArrays(merkle_root, l_merkle_root, fri_levels, points,
+                       main, lincomb)
+
+
+def parse_proof_fast(proof_bytes: bytes) -> ProofArrays:
+    """Parse via the native C scanner when available (identical output and
+    error model; see native/wire_parser.c), else the Python walker."""
+    try:
+        from .. import native
+        return native.parse_proof_native(proof_bytes)
+    except RuntimeError:
+        return parse_proof(proof_bytes)

@@ -1,0 +1,244 @@
+"""The jitted MiMC-STARK verifier: FRI + trace spot checks, batched.
+
+TPU-native re-design of the reference's verify_mimc_proof /
+verify_low_degree_proof (reference: /root/reference/src/main.rs:31-197).
+Where the reference walks branches and positions one at a time with BigInt,
+this builds one fixed-shape jitted graph per proof family:
+
+  * Fiat-Shamir index PRGs: batched device hash chains       (ops/prg.py)
+  * all Merkle branch groups: lockstep scan over tree depth  (ops/merkle.py)
+  * FRI rows: fused 40-group quartic interp + eval           (ops/quartic.py)
+  * 80 constraint spot checks: vectorized field algebra      (ops/field.py)
+  * constants minipoly: device iNTT                          (ops/ntt.py)
+
+Every assert of the reference becomes a boolean lane; the proof verdict is
+their AND, so a batch returns per-proof verdicts instead of panicking
+(SURVEY.md section 2.2.8).  Bit-exactness quirks preserved: raw (unreduced)
+column values compared against canonical evaluations, raw special_x/k1..k4
+fed to products, stale quartic roots, steps-1 MiMC (SURVEY.md section 2.2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import fp
+from ..config import StarkConfig, StatementTables
+from ..ops import blake2s, field as F, merkle, mimc as mimc_ops, ntt, prg, quartic
+
+
+def _verify_group(root_words, indices, group, depth):
+    ok, _ = merkle.verify_branches(
+        root_words, indices, group["value"], group["sibling"],
+        group["witness"], depth)
+    return jnp.all(ok, axis=-1)
+
+
+def verify_low_degree_proof(l_root_words, fri, tables: StatementTables,
+                            cfg: StarkConfig):
+    """FRI low-degree check (reference: src/main.rs:31-97).
+
+    fri: the stacked level arrays from proofio.device.proof_tree (level axis
+    after any batch axes).  The level walk is one lax.scan whose carry is the
+    running root, so the compiled graph holds a single level body.
+
+    Returns [...] bool.  The final direct check of the POINTS element is
+    (faithfully) skipped in parity mode -- main.rs:94 TODO.
+    """
+    q = cfg.fri_queries
+    quartic_rous = jnp.asarray(tables.quartic_rous)        # [4, 16] (stale)
+    lead_n = l_root_words.ndim - 1                         # batch dims count
+
+    xs = {
+        "root2": jnp.moveaxis(fri["root2"], lead_n, 0),
+        "col_value": jnp.moveaxis(fri["col_value"], lead_n, 0),
+        "col_sibling": jnp.moveaxis(fri["col_sibling"], lead_n, 0),
+        "col_witness": jnp.moveaxis(fri["col_witness"], lead_n, 0),
+        "col_depth": jnp.moveaxis(fri["col_depth"], lead_n, 0),
+        "poly_value": jnp.moveaxis(fri["poly_value"], lead_n, 0),
+        "poly_sibling": jnp.moveaxis(fri["poly_sibling"], lead_n, 0),
+        "poly_witness": jnp.moveaxis(fri["poly_witness"], lead_n, 0),
+        "poly_depth": jnp.moveaxis(fri["poly_depth"], lead_n, 0),
+        "table": jnp.asarray(tables.level_pow2_stacked),   # [L, bits, 16]
+        "modulus": jnp.asarray(tables.level_moduli_np),    # [L] = rou_deg/4
+    }
+    nbits = xs["table"].shape[-2]
+
+    def level(root, x):
+        root2 = x["root2"]
+        # special_x = raw previous-root bytes as an (unreduced) field element
+        # (main.rs:54; SURVEY 2.2.5)
+        special_x = F.words_be_to_limbs(root)
+        mod = x["modulus"]
+
+        ys = prg.pseudorandom_indices(root2, q, mod, cfg.extension_factor)
+
+        # column branches verify against the proof's own embedded root2
+        # (merkle_tree.rs:30-33 trust quirk, SURVEY 2.2.10)
+        ok_col, _ = merkle.verify_branches(
+            root2, ys, x["col_value"], x["col_sibling"], x["col_witness"],
+            x["col_depth"])
+
+        i4 = jnp.arange(4, dtype=jnp.uint32)
+        poly_pos = (ys[..., None] + mod * i4).reshape(*ys.shape[:-1], q * 4)
+        ok_poly, _ = merkle.verify_branches(
+            root, poly_pos, x["poly_value"], x["poly_sibling"],
+            x["poly_witness"], x["poly_depth"])
+
+        # x-coords: quartic_rou[j] * rou^y  (stale quartic roots, main.rs:73-80)
+        x1 = F.pow_table(x["table"], ys, nbits)            # [..., 40, 16]
+        xcoords = F.mul_mod(quartic_rous, x1[..., None, :])  # [..., 40, 4, 16]
+
+        rows = F.words_be_to_limbs(x["poly_value"])        # [..., 160, 16]
+        rows = rows.reshape(*rows.shape[:-2], q, 4, fp.NLIMBS)
+
+        polys = quartic.interp4(xcoords, rows)             # [..., 40, 4, 16]
+        lhs = quartic.eval_quartic(polys, special_x[..., None, :])
+
+        col_vals_raw = F.words_be_to_limbs(x["col_value"])
+        # canonical lhs compared to RAW column value (main.rs:84-86): a
+        # non-canonical committed value can never equal a canonical lhs,
+        # exactly like the reference's unreduced BigInt equality
+        ok_val = jnp.all(jnp.all(lhs == col_vals_raw, axis=-1), axis=-1)
+
+        ok = jnp.logical_and(jnp.logical_and(jnp.all(ok_col, axis=-1),
+                                             jnp.all(ok_poly, axis=-1)),
+                             ok_val)
+        return root2, ok
+
+    _, oks = lax.scan(level, l_root_words, xs)             # oks: [L, ...]
+    return jnp.all(oks, axis=0)
+
+
+def verify_mimc_proof(tree, inp: int, output_limbs, tables: StatementTables,
+                      cfg: StarkConfig):
+    """Full proof check; mirrors verify_mimc_proof (main.rs:99-197).
+
+    tree: proof pytree ([..., ...] leading batch dims); output_limbs [..., 16]
+    the claimed MiMC output.  Returns [...] bool verdicts.
+    """
+    m = cfg.modulus
+    checks = []
+
+    # constants mini-polynomial via device iNTT (main.rs:125 fft_inv)
+    constants = jnp.asarray(mimc_ops.round_constants_mimc(cfg.num_constants))
+    minipoly = ntt.intt(constants, tables.minipoly_root)       # [64, 16]
+
+    # FRI low-degree proof over the linear-combination tree (main.rs:127)
+    checks.append(verify_low_degree_proof(tree["l_merkle_root"], tree["fri"],
+                                          tables, cfg))
+
+    # k1..k4 = Blake2s(merkle_root || i), raw 256-bit BE ints (main.rs:131-146)
+    mroot = tree["merkle_root"]
+    ks = [F.words_be_to_limbs(blake2s.hash_root_byte(mroot, i))
+          for i in (1, 2, 3, 4)]
+
+    # spot-check positions from l_merkle_root (main.rs:148-156)
+    positions = prg.pseudorandom_indices(
+        tree["l_merkle_root"], cfg.spot_checks, cfg.precision,
+        cfg.extension_factor)                                   # [..., 80]
+    aug = jnp.stack(
+        [positions, (positions + jnp.uint32(cfg.skips)) % jnp.uint32(cfg.precision)],
+        axis=-1)
+    augmented = aug.reshape(*aug.shape[:-2], cfg.spot_checks * 2)  # interleaved
+
+    main_depth = tree["main"]["witness"].shape[-2]
+    lin_depth = tree["lincomb"]["witness"].shape[-2]
+    checks.append(_verify_group(mroot, augmented, tree["main"], main_depth))
+    checks.append(_verify_group(tree["l_merkle_root"], positions,
+                                tree["lincomb"], lin_depth))
+
+    # trace values: 96-byte leaves = P(x) || D(x) || B(x)  (main.rs:163-174)
+    mv = tree["main"]["value"]                                  # [..., 160, 24]
+    mv = mv.reshape(*mv.shape[:-2], cfg.spot_checks, 2, 3, 8)
+    p_of_x = F.canon(F.words_be_to_limbs(mv[..., 0, 0, :]))     # [..., 80, 16]
+    p_of_g1x = F.canon(F.words_be_to_limbs(mv[..., 1, 0, :]))
+    d_of_x = F.canon(F.words_be_to_limbs(mv[..., 0, 1, :]))
+    b_of_x = F.canon(F.words_be_to_limbs(mv[..., 0, 2, :]))
+    l_of_x = F.canon(F.words_be_to_limbs(tree["lincomb"]["value"]))
+
+    # x = G2^pos; x^steps via repeated squaring (main.rs:164-166)
+    prec_bits = tables.g2_pow2.shape[0]
+    x = F.pow_table(jnp.asarray(tables.g2_pow2), positions, prec_bits)
+    x_to_steps = F.pow2k(x, cfg.log_steps)
+
+    # Z(x) = (x^steps - 1) / (x - last_step_position)  (main.rs:175-176)
+    last = F.const(tables.last_step_position)
+    denom = F.sub_mod(x, last)
+    denom_inv = F.batch_inv(denom)
+    one = F.const(1)
+    z = F.mul_mod(F.sub_mod(x_to_steps, jnp.broadcast_to(one, x_to_steps.shape)),
+                  denom_inv)
+
+    # K(x) = minipoly(x^skips2)  (main.rs:177-178)
+    x_sk2 = F.pow2k(x, cfg.skips2.bit_length() - 1)
+    k_of_x = F.eval_poly(minipoly, x_sk2)
+
+    # transition: P(g1*x) - P(x)^3 - K(x) - Z(x)*D(x) == 0  (main.rs:179-182)
+    p_cubed = F.mul_mod(F.mul_mod(p_of_x, p_of_x), p_of_x)
+    t = F.sub_mod(F.sub_mod(F.sub_mod(p_of_g1x, p_cubed), k_of_x),
+                  F.mul_mod(z, d_of_x))
+    checks.append(jnp.all(jnp.all(t == 0, axis=-1), axis=-1))
+
+    # boundary: P(x) - B(x)*Z2(x) - I(x) == 0  (main.rs:183-187)
+    # I(x) interpolates (1, inp), (last, output); host-constant scaffolding,
+    # device part only where the output enters (utils.rs:246-274)
+    e0 = (1 - tables.last_step_position) % m
+    e1 = (tables.last_step_position - 1) % m
+    inv_e = pow(e0 * e1 % m, m - 2, m)
+    iy0 = inp % m * inv_e % m * e1 % m                 # host scalar
+    iy1_mult = F.const(inv_e * e0 % m)
+    iy1 = F.mul_mod(output_limbs, iy1_mult)            # [..., 16] device
+    i_c0 = F.add_mod(F.const((-tables.last_step_position * iy0) % m),
+                     F.mul_mod(F.const(m - 1), iy1))   # -last*iy0 - iy1
+    i_c1 = F.add_mod(F.const(iy0), iy1)
+    interp_at_x = F.add_mod(i_c0[..., None, :],
+                            F.mul_mod(i_c1[..., None, :], x))
+    z2_at_x = F.eval_poly(jnp.asarray(tables.zeropoly2), x)
+    bcheck = F.sub_mod(F.sub_mod(p_of_x, F.mul_mod(b_of_x, z2_at_x)),
+                       interp_at_x)
+    checks.append(jnp.all(jnp.all(bcheck == 0, axis=-1), axis=-1))
+
+    # lincomb: L(x) = D + k1*P + k2*P*x^steps + k3*B + k4*B*x^steps
+    # with raw unreduced k's (main.rs:188-192; SURVEY 2.2.3)
+    p_xs = F.mul_mod(p_of_x, x_to_steps)
+    b_xs = F.mul_mod(b_of_x, x_to_steps)
+    lc = F.sub_mod(l_of_x, d_of_x)
+    lc = F.sub_mod(lc, F.mul_mod(ks[0][..., None, :], p_of_x))
+    lc = F.sub_mod(lc, F.mul_mod(ks[1][..., None, :], p_xs))
+    lc = F.sub_mod(lc, F.mul_mod(ks[2][..., None, :], b_of_x))
+    lc = F.sub_mod(lc, F.mul_mod(ks[3][..., None, :], b_xs))
+    checks.append(jnp.all(jnp.all(lc == 0, axis=-1), axis=-1))
+
+    ok = checks[0]
+    for c in checks[1:]:
+        ok = jnp.logical_and(ok, c)
+    return ok
+
+
+def make_verifier(cfg: StarkConfig | None = None, inp: int = 3):
+    """Build the jitted end-to-end verifier for a statement family.
+
+    Returns (verify_fn, tables) where verify_fn(tree) -> bool[...] recomputes
+    the MiMC output on device (mirroring main(), main.rs:205-218) and runs all
+    checks.  Works for single proofs (no batch axis) and stacked batches.
+    """
+    cfg = cfg or StarkConfig()
+    tables = StatementTables(cfg)
+    if not cfg.sanity_ok():
+        raise ValueError("statement fails reference sanity checks")
+
+    @jax.jit
+    def verify_fn(tree):
+        constants = jnp.asarray(mimc_ops.round_constants_mimc(cfg.num_constants))
+        out = mimc_ops.mimc(F.const(inp), cfg.num_steps, constants)
+        lead = tree["merkle_root"].shape[:-1]
+        output = jnp.broadcast_to(out, lead + (fp.NLIMBS,))
+        return verify_mimc_proof(tree, inp, output, tables, cfg)
+
+    return verify_fn, tables

@@ -1,0 +1,38 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh (SURVEY.md section
+4(e)): data-parallel batched verification with the verdict-AND collective."""
+
+import numpy as np
+import jax
+
+import stark_verifier_tpu  # noqa: F401  (path setup)
+from stark_verifier_tpu.proofio import wire, device
+from stark_verifier_tpu.parallel import mesh as M
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+
+
+def test_sharded_batch_verify(proof_bytes):
+    good = device.proof_tree(wire.parse_proof(proof_bytes))
+    b = bytearray(proof_bytes)
+    b[110] ^= 0x40
+    bad = device.proof_tree(wire.parse_proof(bytes(b)))
+
+    mesh = M.make_mesh(8)
+    trees = [good, good, good, bad, good, good, good, good]
+    batch = M.shard_batch(device.stack_proofs(trees), mesh)
+    fn = M.make_sharded_verifier(mesh)
+    verdicts, all_ok = fn(batch)
+    verdicts = np.asarray(verdicts)
+    assert verdicts.tolist() == [True] * 3 + [False] + [True] * 4
+    assert not bool(np.asarray(all_ok))
+    # shard layout: verdicts sharded over the mesh
+    assert len(verdicts) == 8
+
+
+def test_graft_entry_dryrun():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
