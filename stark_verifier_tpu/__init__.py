@@ -12,9 +12,15 @@ __version__ = "0.1.0"
 
 
 def enable_compile_cache(path: str = "/root/repo/.jax_cache") -> None:
-    """Enable JAX's persistent compilation cache (the full-verifier graph is
-    expensive to compile, especially through remote-compile TPU tunnels)."""
+    """Enable JAX's persistent compilation cache on CPU backends.
+
+    Deliberately a no-op on TPU here: with the axon remote-compile plugin,
+    deserializing a cached executable has been observed to hang, while a fresh
+    compile completes -- so TPU processes pay one compile per process instead.
+    """
     import jax
+    if jax.default_backend() != "cpu":
+        return
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -1,0 +1,154 @@
+"""Ablation profile of the verifier: time each protocol phase as its own
+jitted graph at a given batch size to find the hot spots.
+
+Usage: python tools/prof_ablate.py [batch] [iters]
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+sys.path.insert(0, "/root/repo")
+
+from stark_verifier_tpu.config import StarkConfig, StatementTables
+from stark_verifier_tpu.proofio import wire, device
+from stark_verifier_tpu.ops import blake2s, field as F, merkle, mimc as mimc_ops, ntt, prg, quartic
+from stark_verifier_tpu.protocol import verify as V
+from stark_verifier_tpu import fp
+
+
+def timeit(name, fn, *args, iters=5):
+    r = fn(*args)
+    jax.block_until_ready(r)   # compile
+    ts = []
+    for _ in range(iters):
+        t = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t)
+    p50 = float(np.percentile(ts, 50))
+    print(f"{name:28s} {p50*1e3:9.2f} ms", flush=True)
+    return p50
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    cfg = StarkConfig()
+    tables = StatementTables(cfg)
+
+    pb = open("/root/reference/proof.bin", "rb").read()
+    tree = device.to_device(device.replicate_proof(
+        device.proof_tree(wire.parse_proof_fast(pb)), batch))
+    print(f"batch={batch} device={jax.devices()[0]}", flush=True)
+
+    lead_n = 1
+
+    @jax.jit
+    def full(tree):
+        constants = jnp.asarray(mimc_ops.round_constants_mimc(64))
+        out = mimc_ops.mimc(F.const(3), cfg.num_steps, constants)
+        output = jnp.broadcast_to(out, tree["merkle_root"].shape[:-1] + (fp.NLIMBS,))
+        return V.verify_mimc_proof(tree, 3, output, tables, cfg)
+
+    @jax.jit
+    def hashes_only(tree):
+        """All Merkle groups + PRGs, no field math."""
+        oks = []
+        fri = tree["fri"]
+        xs = {k: jnp.moveaxis(fri[k], lead_n, 0) for k in
+              ("root2", "col_value", "col_sibling", "col_witness", "col_depth",
+               "poly_value", "poly_sibling", "poly_witness", "poly_depth")}
+        xs["modulus"] = jnp.asarray(tables.level_moduli_np)
+
+        def level(root, x):
+            ys = prg.pseudorandom_indices(x["root2"], 40, x["modulus"], 8)
+            okc, _ = merkle.verify_branches(x["root2"], ys, x["col_value"],
+                                            x["col_sibling"], x["col_witness"],
+                                            x["col_depth"])
+            i4 = jnp.arange(4, dtype=jnp.uint32)
+            pp = (ys[..., None] + x["modulus"] * i4).reshape(*ys.shape[:-1], 160)
+            okp, _ = merkle.verify_branches(root, pp, x["poly_value"],
+                                            x["poly_sibling"], x["poly_witness"],
+                                            x["poly_depth"])
+            return x["root2"], jnp.all(okc, -1) & jnp.all(okp, -1)
+
+        _, oks_l = lax.scan(level, tree["l_merkle_root"], xs)
+        positions = prg.pseudorandom_indices(tree["l_merkle_root"], 80, 65536, 8)
+        aug = jnp.stack([positions, (positions + 8) % 65536], -1).reshape(
+            *positions.shape[:-1], 160)
+        okm, _ = merkle.verify_branches(tree["merkle_root"], aug,
+                                        tree["main"]["value"], tree["main"]["sibling"],
+                                        tree["main"]["witness"], 15)
+        okl, _ = merkle.verify_branches(tree["l_merkle_root"], positions,
+                                        tree["lincomb"]["value"],
+                                        tree["lincomb"]["sibling"],
+                                        tree["lincomb"]["witness"], 15)
+        return jnp.all(oks_l, 0) & jnp.all(okm, -1) & jnp.all(okl, -1)
+
+    @jax.jit
+    def fri_math_only(tree):
+        """FRI field math (pow/interp/eval), no Merkle."""
+        fri = tree["fri"]
+        xs = {k: jnp.moveaxis(fri[k], lead_n, 0) for k in ("root2", "col_value",
+                                                           "poly_value")}
+        xs["table"] = jnp.asarray(tables.level_pow2_stacked)
+        xs["modulus"] = jnp.asarray(tables.level_moduli_np)
+        quartic_rous = jnp.asarray(tables.quartic_rous)
+        nbits = xs["table"].shape[-2]
+
+        def level(root, x):
+            special_x = F.words_be_to_limbs(root)
+            ys = prg.pseudorandom_indices(x["root2"], 40, x["modulus"], 8)
+            x1 = F.pow_table(x["table"], ys, nbits)
+            xcoords = F.mul_mod(quartic_rous, x1[..., None, :])
+            rows = F.words_be_to_limbs(x["poly_value"]).reshape(
+                *x["poly_value"].shape[:-2], 40, 4, fp.NLIMBS)
+            polys = quartic.interp4(xcoords, rows)
+            lhs = quartic.eval_quartic(polys, special_x[..., None, :])
+            cv = F.words_be_to_limbs(x["col_value"])
+            return x["root2"], jnp.all(jnp.all(lhs == cv, -1), -1)
+
+        _, oks = lax.scan(level, tree["l_merkle_root"], xs)
+        return jnp.all(oks, 0)
+
+    @jax.jit
+    def spot_only(tree):
+        """Constraint spot checks without Merkle/MiMC."""
+        constants = jnp.asarray(mimc_ops.round_constants_mimc(64))
+        minipoly = ntt.intt(constants, tables.minipoly_root)
+        positions = prg.pseudorandom_indices(tree["l_merkle_root"], 80, 65536, 8)
+        mv = tree["main"]["value"].reshape(*tree["main"]["value"].shape[:-2],
+                                           80, 2, 3, 8)
+        p_of_x = F.canon(F.words_be_to_limbs(mv[..., 0, 0, :]))
+        d_of_x = F.canon(F.words_be_to_limbs(mv[..., 0, 1, :]))
+        x = F.pow_table(jnp.asarray(tables.g2_pow2), positions, 16)
+        x_to_steps = F.pow2k(x, 13)
+        last = F.const(tables.last_step_position)
+        dinv = F.batch_inv(F.sub_mod(x, last))
+        one = jnp.broadcast_to(F.const(1), x_to_steps.shape).astype(jnp.uint32)
+        z = F.mul_mod(F.sub_mod(x_to_steps, one), dinv)
+        k_of_x = F.eval_poly(minipoly, F.pow2k(x, 7))
+        p3 = F.mul_mod(F.mul_mod(p_of_x, p_of_x), p_of_x)
+        t = F.sub_mod(F.sub_mod(p3, k_of_x), F.mul_mod(z, d_of_x))
+        return jnp.all(t == 0, (-1, -2))
+
+    @jax.jit
+    def mimc_only(_tree):
+        constants = jnp.asarray(mimc_ops.round_constants_mimc(64))
+        return mimc_ops.mimc(F.const(3), cfg.num_steps, constants)
+
+    t_full = timeit("full verify", full, tree, iters=iters)
+    t_h = timeit("hashes (merkle+prg)", hashes_only, tree, iters=iters)
+    t_f = timeit("fri field math", fri_math_only, tree, iters=iters)
+    t_s = timeit("spot-check field math", spot_only, tree, iters=iters)
+    t_m = timeit("mimc recompute", mimc_only, tree, iters=iters)
+    print(f"sum of parts {1e3*(t_h+t_f+t_s+t_m):.2f} ms vs full {1e3*t_full:.2f} ms")
+    print(f"proofs/s full: {batch/t_full:.1f}")
+
+
+if __name__ == "__main__":
+    main()
