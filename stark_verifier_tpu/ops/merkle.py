@@ -24,6 +24,7 @@ aborting.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -95,3 +96,31 @@ def verify_branches(root_words: jnp.ndarray,
 
 
 verify_branches_jit = jax.jit(verify_branches, static_argnames=("depth",))
+
+
+def merkle_root_permuted(leaves: jnp.ndarray) -> jnp.ndarray:
+    """Root of the full tree the prover builds over a committed value list.
+
+    leaves: [..., n, 8] uint32 word leaves (n a power of 4-compatible size).
+    The prover lays leaves out in the permute-4 shuffled order that
+    ProofBranch::verify walks back (reference: src/merkle_tree.rs:112-116):
+    query index x lives at tree position (x / (n/4)) + 4*(x mod (n/4)).
+    Parents are Blake2s(left || right) all the way up.
+
+    Used by strict mode to bind the FRI POINTS element to the last committed
+    root -- the check the reference parses for but never performs
+    (deserializer.rs:47-59, main.rs:94; SURVEY.md 2.2.10).
+    """
+    n = leaves.shape[-2]
+    ld4 = n // 4
+    x = np.arange(n)
+    pos = (x // ld4) + 4 * (x % ld4)
+    inv = np.zeros(n, dtype=np.int64)
+    inv[pos] = x                    # tree position -> query index
+    nodes = jnp.take(leaves, jnp.asarray(inv), axis=-2)
+    while nodes.shape[-2] > 1:
+        k = nodes.shape[-2]
+        left = nodes[..., 0:k:2, :]
+        right = nodes[..., 1:k:2, :]
+        nodes = blake2s.hash_pair(left, right)
+    return nodes[..., 0, :]

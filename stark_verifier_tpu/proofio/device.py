@@ -58,6 +58,7 @@ def proof_tree(p: ProofArrays) -> dict:
         "merkle_root": np.asarray(p.merkle_root_words),
         "l_merkle_root": np.asarray(p.l_merkle_root_words),
         "fri": fri,
+        "points": np.asarray(p.points_words),
         "main": _group_tree(p.main),
         "lincomb": _group_tree(p.lincomb),
     }

@@ -40,7 +40,7 @@ def _verify_group(root_words, indices, group, depth):
 
 
 def verify_low_degree_proof(l_root_words, fri, tables: StatementTables,
-                            cfg: StarkConfig):
+                            cfg: StarkConfig, points_words=None):
     """FRI low-degree check (reference: src/main.rs:31-97).
 
     fri: the stacked level arrays from proofio.device.proof_tree (level axis
@@ -111,8 +111,18 @@ def verify_low_degree_proof(l_root_words, fri, tables: StatementTables,
                              ok_val)
         return root2, ok
 
-    _, oks = lax.scan(level, l_root_words, xs)             # oks: [L, ...]
-    return jnp.all(oks, axis=0)
+    last_root, oks = lax.scan(level, l_root_words, xs)     # oks: [L, ...]
+    ok = jnp.all(oks, axis=0)
+
+    if cfg.strict and points_words is not None:
+        # strict mode closes the reference's open TODO (main.rs:94): bind the
+        # parsed POINTS element to the final committed column root.  (A direct
+        # low-degree test of the final layer would reject even the bundled
+        # honest proof -- its last column interpolates to full degree 63 over
+        # the 64-point domain -- so root binding is the meaningful check.)
+        proot = merkle.merkle_root_permuted(points_words)
+        ok = jnp.logical_and(ok, jnp.all(proot == last_root, axis=-1))
+    return ok
 
 
 def verify_mimc_proof(tree, inp: int, output_limbs, tables: StatementTables,
@@ -131,7 +141,7 @@ def verify_mimc_proof(tree, inp: int, output_limbs, tables: StatementTables,
 
     # FRI low-degree proof over the linear-combination tree (main.rs:127)
     checks.append(verify_low_degree_proof(tree["l_merkle_root"], tree["fri"],
-                                          tables, cfg))
+                                          tables, cfg, tree.get("points")))
 
     # k1..k4 = Blake2s(merkle_root || i), raw 256-bit BE ints (main.rs:131-146)
     mroot = tree["merkle_root"]
