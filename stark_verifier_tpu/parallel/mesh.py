@@ -26,6 +26,28 @@ from ..protocol import verify as V
 from ..proofio import device as pdevice
 
 
+def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Join a multi-host process group over DCN (jax.distributed).
+
+    No-op when the env/args describe a single process.  After this,
+    jax.devices() spans all hosts and the same jitted sharded verifier runs
+    SPMD; each host device_puts only its addressable shard of the batch.
+    Verification is stateless, so recovering a failed host = rerun its shard.
+    """
+    import os
+    if coordinator is None:
+        coordinator = os.environ.get("STARK_COORDINATOR")
+    if coordinator is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes or int(os.environ.get("STARK_NUM_PROCS", "1")),
+        process_id=process_id if process_id is not None
+        else int(os.environ.get("STARK_PROC_ID", "0")),
+    )
+
+
 def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
@@ -67,3 +89,71 @@ def verify_batch(proof_trees: list, mesh: Mesh | None = None,
     fn = make_sharded_verifier(mesh, cfg, inp)
     verdicts, _ = fn(batch)
     return np.asarray(verdicts)
+
+
+def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = None,
+                  cfg: StarkConfig | None = None, inp: int = 3,
+                  manifest: dict | None = None):
+    """Chunked verification of an arbitrarily large proof stream.
+
+    proof_blobs: iterable of serialized proof byte strings.  Proofs are
+    parsed (native fast path), batched into fixed-size chunks (padded with
+    the first proof so every chunk reuses one compiled shape), sharded over
+    the mesh, and verified; yields (global_index, verdict) pairs.  Malformed
+    proofs are rejected at parse time without aborting the stream
+    (the reference would panic, SURVEY.md 2.2.8).
+
+    `manifest`, if given, is a dict recording completed chunk ids -- rerunning
+    with the same manifest skips finished chunks (verification is pure, so
+    checkpoint/resume is just a completed-chunk set, SURVEY.md section 5).
+    """
+    from ..proofio import wire
+    mesh = mesh or make_mesh()
+    if chunk is None:
+        chunk = 64 * mesh.devices.size
+    d = mesh.devices.size
+    chunk = -(-chunk // d) * d       # round up to a whole number per device
+    fn = make_sharded_verifier(mesh, cfg, inp)
+
+    buf, idxs, pad_tree = [], [], None
+    chunk_id = 0
+
+    def flush():
+        nonlocal buf, idxs, chunk_id
+        if not buf:
+            return []
+        if manifest is not None and chunk_id in manifest:
+            out = [(i, manifest[chunk_id][k]) for k, i in enumerate(idxs)]
+            buf, idxs = [], []
+            chunk_id += 1
+            return out
+        n = len(buf)
+        while len(buf) < chunk:
+            buf.append(pad_tree)
+        batch = shard_batch(pdevice.stack_proofs(buf), mesh)
+        verdicts, _ = fn(batch)
+        verdicts = np.asarray(verdicts)[:n]
+        out = list(zip(idxs, (bool(v) for v in verdicts)))
+        if manifest is not None:
+            manifest[chunk_id] = [bool(v) for v in verdicts]
+        buf, idxs = [], []
+        chunk_id += 1
+        return out
+
+    parse_failures = []
+    for gi, blob in enumerate(proof_blobs):
+        try:
+            tree = pdevice.proof_tree(wire.parse_proof_fast(blob))
+        except wire.WireFormatError:
+            parse_failures.append((gi, False))
+            continue
+        if pad_tree is None:
+            pad_tree = tree
+        buf.append(tree)
+        idxs.append(gi)
+        if len(buf) == chunk:
+            yield from flush()
+        while parse_failures:
+            yield parse_failures.pop(0)
+    yield from flush()
+    yield from parse_failures
