@@ -25,7 +25,7 @@ def main():
     from stark_verifier_tpu.proofio import wire, device
     from stark_verifier_tpu.protocol import verify as V
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     with open("/root/reference/proof.bin", "rb") as f:

@@ -91,9 +91,13 @@ class StatementTables:
             self.level_moduli.append(rd // 4)
             rou = pow(rou, 4, m)
             rd //= 4
-        # stacked for the scanned FRI walk: [levels, bits0, 16] / [levels]
+        # stacked for the level-parallel FRI walk: [levels, bits0, 16] / [levels]
         self.level_pow2_stacked = np.stack(self.level_pow2)
         self.level_moduli_np = np.array(self.level_moduli, dtype=np.uint32)
+        # radix-4 exponent tables (half the multiplies of the radix-2 walk)
+        self.g2_pow4 = fp.pow4_table(self.G2, prec_bits)
+        self.level_pow4_stacked = np.stack(
+            [fp.pow4_table(r, bits0) for r in self.level_rous])
         # quartic roots of unity -- computed ONCE from the top-level domain
         # and (faithfully to the reference) stale for later levels
         # (main.rs:43-48; SURVEY 2.2.5)
@@ -104,6 +108,21 @@ class StatementTables:
             pow(self.G2, rd0 // 2, m),
             pow(self.G2, rd0 * 3 // 4, m),
         ])
+        # barycentric weight constants for FRI rows: nodes are q_i * x1 with
+        # the (stale) quartic roots q_i, so w_i = prod_{j!=i}(x_i - x_j)
+        # = x1^3 * prod_{j!=i}(q_i - q_j) -- the product is a host constant
+        qr = [1,
+              pow(self.G2, rd0 // 4, m),
+              pow(self.G2, rd0 // 2, m),
+              pow(self.G2, rd0 * 3 // 4, m)]
+        wc = []
+        for i in range(4):
+            prod = 1
+            for j in range(4):
+                if j != i:
+                    prod = prod * (qr[i] - qr[j]) % m
+            wc.append(prod % m)
+        self.quartic_wconsts = fp.ints_to_limbs(wc)
         self.last_step_position = pow(self.G2, (cfg.num_steps - 1) * cfg.skips, m)
         # zeropoly2 = (x - 1)(x - last) = [last, -(1+last), 1]  (main.rs:185)
         self.zeropoly2 = fp.ints_to_limbs([

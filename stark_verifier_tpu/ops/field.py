@@ -242,8 +242,48 @@ def _mul_acc(a: jnp.ndarray, b: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
 
 def mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Full 512-bit product of two 256-bit values: [..., 16]x[..., 16] -> [..., 32]."""
+    if _USE_MXU_MUL:
+        return _carry_fix(_mul_acc_mxu(a, b))
     acc = _mul_acc(a, b, 32)
     return _carry_fix(acc)
+
+
+# --- MXU product path -------------------------------------------------------
+#
+# The schoolbook column sums are a contraction with a constant 0/1 matrix:
+# flatten the limb product matrix to [..., 256] (entry 16i+j = a_i*b_j, split
+# into 16-bit halves -> [..., 512]) and matmul with SEL[512, 32] where
+# SEL[(half,i,j), k] = 1 iff i+j+half == k.  Every partial sum is < 2^21, far
+# below f32's 2^24 integer-exact range, so the MXU computes the columns
+# exactly -- turning the HBM-bound elementwise diagonal sums into systolic
+# array work (the op the TPU is built around).
+
+_USE_MXU_MUL = True
+
+
+@functools.lru_cache(maxsize=1)
+def _sel_matrix() -> np.ndarray:
+    sel = np.zeros((512, 32), dtype=np.float32)
+    for i in range(16):
+        for j in range(16):
+            sel[i * 16 + j, i + j] = 1.0            # lo half
+            sel[256 + i * 16 + j, i + j + 1] = 1.0  # hi half
+    return sel
+
+
+def _mul_acc_mxu(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    lead = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    prod = (a[..., :, None] * b[..., None, :])          # [..., 16, 16] exact u32
+    prod = jnp.broadcast_to(prod, lead + (16, 16)).reshape(lead + (256,))
+    lo = (prod & MASK).astype(jnp.float32)
+    hi = (prod >> 16).astype(jnp.float32)
+    cat = jnp.concatenate([lo, hi], axis=-1)            # [..., 512]
+    sel = jnp.asarray(_sel_matrix())
+    cols = jax.lax.dot_general(
+        cat, sel, (((cat.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)             # [..., 32] exact ints
+    return cols.astype(jnp.uint32)
 
 
 def reduce_wide(w: jnp.ndarray) -> jnp.ndarray:
@@ -347,6 +387,28 @@ def pow_table(table: jnp.ndarray, e: jnp.ndarray, nbits: int) -> jnp.ndarray:
         return jnp.where(bit[..., None], m, r), None
 
     r, _ = lax.scan(step, r, (bits, table[:nbits]))
+    return r
+
+
+def pow_table4(table4: jnp.ndarray, e: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    """base^e via a radix-4 table (see fp.pow4_table): one multiply per two
+    exponent bits.
+
+    table4: [steps, 3, ...(broadcastable), 16] where entry [k][d-1] is
+    base^(d * 4^k); e: [...] uint32 (< 2^nbits).  Returns [..., 16].
+    """
+    steps = -(-nbits // 2)
+    r = jnp.broadcast_to(const(1), e.shape + (NLIMBS,)).astype(jnp.uint32)
+    digits = jnp.stack([((e >> (2 * k)) & 3) for k in range(steps)])
+
+    def step(r, xs):
+        d, tab = xs                     # tab: [3, ..., 16]
+        pick = jnp.where((d == 1)[..., None], tab[0],
+                         jnp.where((d == 2)[..., None], tab[1], tab[2]))
+        m = mul_mod(r, pick)
+        return jnp.where((d == 0)[..., None], r, m), None
+
+    r, _ = lax.scan(step, r, (digits, table4[:steps]))
     return r
 
 

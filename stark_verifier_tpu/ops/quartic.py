@@ -66,6 +66,83 @@ def interp4(xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.ndarray:
     return F._sum_mod(jnp.moveaxis(terms, -3, -2), axis=-2)  # sum over i -> [..., 4(j), 16]
 
 
+def eval_interp4_scaled(x1: jnp.ndarray, q_rous: jnp.ndarray,
+                        wconsts: jnp.ndarray, ys: jnp.ndarray,
+                        sx: jnp.ndarray) -> jnp.ndarray:
+    """Barycentric quartic evaluation for FRI's structured nodes x_i = q_i*x1.
+
+    x1: [..., G, 16]; q_rous: [4, 16] (the stale quartic roots, SURVEY 2.2.5);
+    wconsts: [4, 16] host constants prod_{j!=i}(q_i - q_j); ys: [..., G, 4, 16]
+    raw rows; sx: [..., 16].  Returns [..., G, 16] canonical -- identical to
+    the reference's multi_interp_4 + eval_quartic value, exploiting
+    w_i = prod_{j!=i}(x_i - x_j) = x1^3 * wconst_i.
+    """
+    nodes = F.mul_mod(q_rous, x1[..., None, :])          # [..., G, 4, 16]
+    sx_b = F.canon(sx)[..., None, None, :]
+    d = F.sub_mod(jnp.broadcast_to(sx_b, nodes.shape), nodes)
+    num = F.mul_mod(F.mul_mod(d[..., 0, :], d[..., 1, :]),
+                    F.mul_mod(d[..., 2, :], d[..., 3, :]))   # [..., G, 16]
+    x1cb = F.mul_mod(F.mul_mod(x1, x1), x1)
+    w = F.mul_mod(wconsts, x1cb[..., None, :])           # [..., G, 4, 16]
+    den = F.mul_mod(d, w)
+    lead = den.shape[:-3]
+    inv_den = F.batch_inv(den.reshape(lead + (-1, 16))).reshape(den.shape)
+    terms = F.mul_mod(ys, inv_den)
+    ssum = F.add_mod(F.add_mod(terms[..., 0, :], terms[..., 1, :]),
+                     F.add_mod(terms[..., 2, :], terms[..., 3, :]))
+    lhs = F.mul_mod(num, ssum)
+
+    hit = jnp.all(d == 0, axis=-1)                       # [..., G, 4]
+    any_hit = jnp.any(hit, axis=-1)
+    y_can = F.canon(ys)
+    y_hit = jnp.sum(jnp.where(hit[..., None], y_can, 0), axis=-2).astype(jnp.uint32)
+    return jnp.where(any_hit[..., None], y_hit, lhs)
+
+
+def eval_interp4_at(xs: jnp.ndarray, ys: jnp.ndarray, sx: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate the quartic through (xs, ys) directly at sx (barycentric form).
+
+    xs: [..., G, 4, 16] distinct canonical nodes; ys: [..., G, 4, 16] (raw ok);
+    sx: [..., 16] broadcast over G.  Returns [..., G, 16] canonical -- the same
+    value multi_interp_4 + eval_quartic produce (reference: src/utils.rs:196-244,
+    103-120), with ~2x fewer multiplies: no coefficient vector is formed.
+
+    lhs = N * sum_i y_i / ((sx - x_i) * w_i),  N = prod_i (sx - x_i),
+    w_i = prod_{j != i} (x_i - x_j); if sx hits a node, the interpolant's
+    value there is y_i (canonical), selected explicitly.
+    """
+    sx_b = F.canon(sx)[..., None, None, :]              # [..., 1, 1, 16]
+    d = F.sub_mod(jnp.broadcast_to(sx_b, xs.shape), xs)  # [..., G, 4, 16]
+    d0, d1, d2, d3 = (d[..., i, :] for i in range(4))
+    num = F.mul_mod(F.mul_mod(d0, d1), F.mul_mod(d2, d3))  # [..., G, 16]
+
+    # w_i = prod_{j!=i} (x_i - x_j)
+    x = xs
+    diffs = [[None] * 4 for _ in range(4)]
+    for i in range(4):
+        for j in range(4):
+            if i != j:
+                diffs[i][j] = F.sub_mod(x[..., i, :], x[..., j, :])
+    w = [F.mul_mod(F.mul_mod(diffs[i][(i + 1) % 4], diffs[i][(i + 2) % 4]),
+                   diffs[i][(i + 3) % 4]) for i in range(4)]
+
+    den = jnp.stack([F.mul_mod(d[..., i, :], w[i]) for i in range(4)], axis=-2)
+    lead = den.shape[:-3]
+    inv_den = F.batch_inv(den.reshape(lead + (-1, 16))).reshape(den.shape)
+
+    terms = F.mul_mod(ys, inv_den)                       # [..., G, 4, 16]
+    ssum = F.add_mod(F.add_mod(terms[..., 0, :], terms[..., 1, :]),
+                     F.add_mod(terms[..., 2, :], terms[..., 3, :]))
+    lhs = F.mul_mod(num, ssum)
+
+    # sx coinciding with a node: value is that node's y (canonical)
+    hit = jnp.all(d == 0, axis=-1)                       # [..., G, 4]
+    any_hit = jnp.any(hit, axis=-1)                      # [..., G]
+    y_can = F.canon(ys)
+    y_hit = jnp.sum(jnp.where(hit[..., None], y_can, 0), axis=-2).astype(jnp.uint32)
+    return jnp.where(any_hit[..., None], y_hit, lhs)
+
+
 def eval_quartic(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """coeffs[..., 4, 16] (constant-first), x [..., 16] -> [..., 16] canonical.
 

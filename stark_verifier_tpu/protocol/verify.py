@@ -52,69 +52,62 @@ def verify_low_degree_proof(l_root_words, fri, tables: StatementTables,
     """
     q = cfg.fri_queries
     quartic_rous = jnp.asarray(tables.quartic_rous)        # [4, 16] (stale)
-    lead_n = l_root_words.ndim - 1                         # batch dims count
 
-    xs = {
-        "root2": jnp.moveaxis(fri["root2"], lead_n, 0),
-        "col_value": jnp.moveaxis(fri["col_value"], lead_n, 0),
-        "col_sibling": jnp.moveaxis(fri["col_sibling"], lead_n, 0),
-        "col_witness": jnp.moveaxis(fri["col_witness"], lead_n, 0),
-        "col_depth": jnp.moveaxis(fri["col_depth"], lead_n, 0),
-        "poly_value": jnp.moveaxis(fri["poly_value"], lead_n, 0),
-        "poly_sibling": jnp.moveaxis(fri["poly_sibling"], lead_n, 0),
-        "poly_witness": jnp.moveaxis(fri["poly_witness"], lead_n, 0),
-        "poly_depth": jnp.moveaxis(fri["poly_depth"], lead_n, 0),
-        "table": jnp.asarray(tables.level_pow2_stacked),   # [L, bits, 16]
-        "modulus": jnp.asarray(tables.level_moduli_np),    # [L] = rou_deg/4
-    }
-    nbits = xs["table"].shape[-2]
+    # Level-PARALLEL walk: nothing is sequential across FRI levels -- each
+    # level's seed is its own root2 from the proof and its special_x is the
+    # *previous* level's root, which is just a shifted stack.  All 5 levels'
+    # Merkle walks, index PRGs, and row interpolations therefore run as one
+    # extra vectorized axis, and the batch inversion's Fermat chain (the one
+    # long sequential scan) executes once for every level at once.
+    root2 = fri["root2"]                                   # [..., L, 8]
+    prev = jnp.concatenate([l_root_words[..., None, :], root2[..., :-1, :]],
+                           axis=-2)                        # [..., L, 8]
+    # special_x = raw previous-root bytes as (unreduced) field elements
+    # (main.rs:54; SURVEY 2.2.5)
+    special_x = F.words_be_to_limbs(prev)                  # [..., L, 16]
 
-    def level(root, x):
-        root2 = x["root2"]
-        # special_x = raw previous-root bytes as an (unreduced) field element
-        # (main.rs:54; SURVEY 2.2.5)
-        special_x = F.words_be_to_limbs(root)
-        mod = x["modulus"]
+    moduli = jnp.asarray(tables.level_moduli_np)           # [L] = rou_deg/4
+    mod_b = moduli[:, None]                                # [L, 1]
+    ys = prg.pseudorandom_indices(root2, q, mod_b,
+                                  cfg.extension_factor)    # [..., L, q]
 
-        ys = prg.pseudorandom_indices(root2, q, mod, cfg.extension_factor)
+    # column branches verify against the proof's own embedded root2
+    # (merkle_tree.rs:30-33 trust quirk, SURVEY 2.2.10)
+    ok_col, _ = merkle.verify_branches(
+        root2, ys, fri["col_value"], fri["col_sibling"], fri["col_witness"],
+        fri["col_depth"][..., :, None])
+    i4 = jnp.arange(4, dtype=jnp.uint32)
+    poly_pos = (ys[..., None] + mod_b[..., None] * i4).reshape(
+        *ys.shape[:-1], q * 4)
+    ok_poly, _ = merkle.verify_branches(
+        prev, poly_pos, fri["poly_value"], fri["poly_sibling"],
+        fri["poly_witness"], fri["poly_depth"][..., :, None])
 
-        # column branches verify against the proof's own embedded root2
-        # (merkle_tree.rs:30-33 trust quirk, SURVEY 2.2.10)
-        ok_col, _ = merkle.verify_branches(
-            root2, ys, x["col_value"], x["col_sibling"], x["col_witness"],
-            x["col_depth"])
+    # x-coords are quartic_rou[j] * rou_level^y (stale quartic roots,
+    # main.rs:73-80); the interpolation exploits that structure
+    tables4 = jnp.asarray(tables.level_pow4_stacked)       # [L, steps, 3, 16]
+    nbits = tables.level_pow2_stacked.shape[-2]
+    table_b = jnp.transpose(tables4, (1, 2, 0, 3))[:, :, :, None, :]  # [steps, 3, L, 1, 16]
+    x1 = F.pow_table4(table_b, ys, nbits)                  # [..., L, q, 16]
 
-        i4 = jnp.arange(4, dtype=jnp.uint32)
-        poly_pos = (ys[..., None] + mod * i4).reshape(*ys.shape[:-1], q * 4)
-        ok_poly, _ = merkle.verify_branches(
-            root, poly_pos, x["poly_value"], x["poly_sibling"],
-            x["poly_witness"], x["poly_depth"])
+    rows = F.words_be_to_limbs(fri["poly_value"])          # [..., L, 4q, 16]
+    rows = rows.reshape(*rows.shape[:-2], q, 4, fp.NLIMBS)
 
-        # x-coords: quartic_rou[j] * rou^y  (stale quartic roots, main.rs:73-80)
-        x1 = F.pow_table(x["table"], ys, nbits)            # [..., 40, 16]
-        xcoords = F.mul_mod(quartic_rous, x1[..., None, :])  # [..., 40, 4, 16]
+    # canonical interpolated value compared to the RAW column value
+    # (main.rs:84-86): a non-canonical committed value can never equal a
+    # canonical lhs, exactly like the reference's unreduced BigInt equality
+    lhs = quartic.eval_interp4_scaled(
+        x1, quartic_rous, jnp.asarray(tables.quartic_wconsts), rows,
+        special_x)                                         # [..., L, q, 16]
+    col_vals_raw = F.words_be_to_limbs(fri["col_value"])
+    ok_val = jnp.all(jnp.all(lhs == col_vals_raw, axis=-1), axis=-1)
 
-        rows = F.words_be_to_limbs(x["poly_value"])        # [..., 160, 16]
-        rows = rows.reshape(*rows.shape[:-2], q, 4, fp.NLIMBS)
-
-        polys = quartic.interp4(xcoords, rows)             # [..., 40, 4, 16]
-        lhs = quartic.eval_quartic(polys, special_x[..., None, :])
-
-        col_vals_raw = F.words_be_to_limbs(x["col_value"])
-        # canonical lhs compared to RAW column value (main.rs:84-86): a
-        # non-canonical committed value can never equal a canonical lhs,
-        # exactly like the reference's unreduced BigInt equality
-        ok_val = jnp.all(jnp.all(lhs == col_vals_raw, axis=-1), axis=-1)
-
-        ok = jnp.logical_and(jnp.logical_and(jnp.all(ok_col, axis=-1),
-                                             jnp.all(ok_poly, axis=-1)),
-                             ok_val)
-        return root2, ok
-
-    last_root, oks = lax.scan(level, l_root_words, xs)     # oks: [L, ...]
-    ok = jnp.all(oks, axis=0)
+    ok = jnp.all(jnp.logical_and(jnp.logical_and(jnp.all(ok_col, axis=-1),
+                                                 jnp.all(ok_poly, axis=-1)),
+                                 ok_val), axis=-1)
 
     if cfg.strict and points_words is not None:
+        last_root = root2[..., -1, :]
         # strict mode closes the reference's open TODO (main.rs:94): bind the
         # parsed POINTS element to the final committed column root.  (A direct
         # low-degree test of the final layer would reject even the bundled
@@ -174,7 +167,7 @@ def verify_mimc_proof(tree, inp: int, output_limbs, tables: StatementTables,
 
     # x = G2^pos; x^steps via repeated squaring (main.rs:164-166)
     prec_bits = tables.g2_pow2.shape[0]
-    x = F.pow_table(jnp.asarray(tables.g2_pow2), positions, prec_bits)
+    x = F.pow_table4(jnp.asarray(tables.g2_pow4), positions, prec_bits)
     x_to_steps = F.pow2k(x, cfg.log_steps)
 
     # Z(x) = (x^steps - 1) / (x - last_step_position)  (main.rs:175-176)
