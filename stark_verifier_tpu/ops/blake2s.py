@@ -52,6 +52,10 @@ SIGMA = np.array([
     [10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0],
 ], dtype=np.int32)
 
+# Unroll the 10 rounds into the graph (better fusion) vs scan them (smaller
+# graph).  Unrolled wins on TPU; scan kept for compile-time-sensitive debug.
+UNROLL_ROUNDS = True
+
 # Per-round message-schedule gather indices for the 4-lane formulation:
 # column step x/y words, then diagonal step x/y words, each [10, 4].
 _CX = SIGMA[:, 0:8:2]
@@ -93,16 +97,11 @@ def compress(h: jnp.ndarray, m: jnp.ndarray, t: int, last: bool) -> jnp.ndarray:
         dvec[2] ^= np.uint32(0xFFFFFFFF)
     d = jnp.broadcast_to(jnp.asarray(dvec), lead + (4,))
 
-    # pre-gather the sigma schedule: [10, ..., 4] per operand
-    def sched(idx):
-        g = jnp.take(m, jnp.asarray(idx), axis=-1)       # [..., 10, 4]
-        return jnp.moveaxis(g, -2, 0)                    # [10, ..., 4]
-
-    xs = (sched(_CX), sched(_CY), sched(_DX), sched(_DY))
-
-    def round_(carry, ms):
-        a, b, c, d = carry
-        cx, cy, dx, dy = ms
+    def one_round(a, b, c, d, r):
+        cx = m[..., _CX[r]]
+        cy = m[..., _CY[r]]
+        dx = m[..., _DX[r]]
+        dy = m[..., _DY[r]]
         a, b, c, d = _g(a, b, c, d, cx, cy)
         # diagonalize: rotate rows so diagonals align as columns
         b = jnp.roll(b, -1, axis=-1)
@@ -112,9 +111,34 @@ def compress(h: jnp.ndarray, m: jnp.ndarray, t: int, last: bool) -> jnp.ndarray:
         b = jnp.roll(b, 1, axis=-1)
         c = jnp.roll(c, 2, axis=-1)
         d = jnp.roll(d, 3, axis=-1)
-        return (a, b, c, d), None
+        return a, b, c, d
 
-    (a, b, c, d), _ = lax.scan(round_, (a, b, c, d), xs)
+    if UNROLL_ROUNDS:
+        # unrolled: XLA fuses across all 10 rounds (one kernel per
+        # compression instead of 10 scan-step launches)
+        for r in range(10):
+            a, b, c, d = one_round(a, b, c, d, r)
+    else:
+        def sched(idx):
+            g = jnp.take(m, jnp.asarray(idx), axis=-1)   # [..., 10, 4]
+            return jnp.moveaxis(g, -2, 0)                # [10, ..., 4]
+
+        xs = (sched(_CX), sched(_CY), sched(_DX), sched(_DY))
+
+        def round_(carry, ms):
+            a, b, c, d = carry
+            cx, cy, dx, dy = ms
+            a, b, c, d = _g(a, b, c, d, cx, cy)
+            b = jnp.roll(b, -1, axis=-1)
+            c = jnp.roll(c, -2, axis=-1)
+            d = jnp.roll(d, -3, axis=-1)
+            a, b, c, d = _g(a, b, c, d, dx, dy)
+            b = jnp.roll(b, 1, axis=-1)
+            c = jnp.roll(c, 2, axis=-1)
+            d = jnp.roll(d, 3, axis=-1)
+            return (a, b, c, d), None
+
+        (a, b, c, d), _ = lax.scan(round_, (a, b, c, d), xs)
 
     lo = jnp.concatenate([a, b], axis=-1)     # v0..v7
     hi = jnp.concatenate([c, d], axis=-1)     # v8..v15

@@ -93,27 +93,25 @@ def main():
     def fri_math_only(tree):
         """FRI field math (pow/interp/eval), no Merkle."""
         fri = tree["fri"]
-        xs = {k: jnp.moveaxis(fri[k], lead_n, 0) for k in ("root2", "col_value",
-                                                           "poly_value")}
-        xs["table"] = jnp.asarray(tables.level_pow2_stacked)
-        xs["modulus"] = jnp.asarray(tables.level_moduli_np)
         quartic_rous = jnp.asarray(tables.quartic_rous)
-        nbits = xs["table"].shape[-2]
 
-        def level(root, x):
-            special_x = F.words_be_to_limbs(root)
-            ys = prg.pseudorandom_indices(x["root2"], 40, x["modulus"], 8)
-            x1 = F.pow_table(x["table"], ys, nbits)
-            xcoords = F.mul_mod(quartic_rous, x1[..., None, :])
-            rows = F.words_be_to_limbs(x["poly_value"]).reshape(
-                *x["poly_value"].shape[:-2], 40, 4, fp.NLIMBS)
-            polys = quartic.interp4(xcoords, rows)
-            lhs = quartic.eval_quartic(polys, special_x[..., None, :])
-            cv = F.words_be_to_limbs(x["col_value"])
-            return x["root2"], jnp.all(jnp.all(lhs == cv, -1), -1)
-
-        _, oks = lax.scan(level, tree["l_merkle_root"], xs)
-        return jnp.all(oks, 0)
+        root2 = fri["root2"]
+        prev = jnp.concatenate([tree["l_merkle_root"][..., None, :],
+                                root2[..., :-1, :]], axis=-2)
+        special_x = F.words_be_to_limbs(prev)
+        mod_b = jnp.asarray(tables.level_moduli_np)[:, None]
+        ys = prg.pseudorandom_indices(root2, 40, mod_b, 8)
+        tables4 = jnp.asarray(tables.level_pow4_stacked)
+        nbits = tables.level_pow2_stacked.shape[-2]
+        table_b = jnp.transpose(tables4, (1, 2, 0, 3))[:, :, :, None, :]
+        x1 = F.pow_table4(table_b, ys, nbits)
+        rows = F.words_be_to_limbs(fri["poly_value"]).reshape(
+            *fri["poly_value"].shape[:-2], 40, 4, fp.NLIMBS)
+        lhs = quartic.eval_interp4_scaled(
+            x1, quartic_rous, jnp.asarray(tables.quartic_wconsts), rows,
+            special_x)
+        cv = F.words_be_to_limbs(fri["col_value"])
+        return jnp.all(jnp.all(jnp.all(lhs == cv, -1), -1), -1)
 
     @jax.jit
     def spot_only(tree):
