@@ -12,6 +12,7 @@ precomputed host-side once per statement family and reused across batches.
 from __future__ import annotations
 
 import functools
+import math
 from dataclasses import dataclass, field as dfield
 
 import numpy as np
@@ -133,7 +134,76 @@ class StatementTables:
         # constants mini-polynomial domain root: G2^(ext*skips2) (main.rs:124)
         self.minipoly_root = pow(self.G2, cfg.extension_factor * cfg.skips2, m)
 
+        # ------- gather tables (see docs/PERF.md: pow chains -> one gather) --
+        # master power table: G2 generates the whole evaluation domain, so
+        # every exponentiation in the protocol is G2^(e mod precision);
+        # TPU gathers run at GB-rows/s, far cheaper than square-and-multiply
+        self.g2_powers = self._power_table(self.G2, cfg.precision)
+        # K(x) = minipoly(x^skips2) depends only on pos mod (precision/skips2/
+        # ext... ): x^skips2 = G2^(skips2*pos mod precision) has order
+        # precision/skips2, so K takes that many distinct values
+        self.k_period = cfg.precision // math.gcd(cfg.precision, cfg.skips2)
+        minipoly = self._intt_host(
+            [(i ** 7) ^ 42 for i in range(cfg.num_constants)],
+            self.minipoly_root)
+        kb = pow(self.G2, cfg.skips2, m)
+        self.k_table = self._eval_table(minipoly, kb, self.k_period)
+
+    def _power_table(self, base: int, n: int) -> np.ndarray:
+        out = np.zeros((n, fp.NLIMBS), dtype=np.uint32)
+        cur = 1
+        m = self.cfg.modulus
+        for i in range(n):
+            out[i] = fp.int_to_limbs(cur)
+            cur = cur * base % m
+        return out
+
+    def _eval_table(self, coeffs: list, base: int, n: int) -> np.ndarray:
+        """[n, 16]: poly(base^t) for t < n."""
+        m = self.cfg.modulus
+        out = np.zeros((n, fp.NLIMBS), dtype=np.uint32)
+        x = 1
+        for t in range(n):
+            acc, pw = 0, 1
+            for c in coeffs:
+                acc = (acc + c * pw) % m
+                pw = pw * x % m
+            out[t] = fp.int_to_limbs(acc)
+            x = x * base % m
+        return out
+
+    def _intt_host(self, vals: list, root: int) -> list:
+        """Host inverse NTT matching the reference recursion (fft.rs:64-86)."""
+        m = self.cfg.modulus
+
+        def _fft(v, roots):
+            if len(v) <= 4:
+                n = len(roots)
+                return [sum(v[j] * roots[(i * j) % n] for j in range(n)) % m
+                        for i in range(n)]
+            left = _fft(v[::2], roots[::2])
+            right = _fft(v[1::2], roots[::2])
+            out = [0] * len(v)
+            for i, (a, b) in enumerate(zip(left, right)):
+                br = b * roots[i]
+                out[i] = (a + br) % m
+                out[i + len(left)] = (a - br) % m
+            return out
+
+        roots = [1, root % m]
+        while roots[-1] != 1:
+            roots.append(roots[-1] * root % m)
+        roots.reverse()
+        roots.pop()
+        inv_len = pow(len(vals), m - 2, m)
+        return [x * inv_len % m for x in _fft(vals, roots)]
+
 
 @functools.lru_cache(maxsize=8)
+def cached_tables(cfg: StarkConfig) -> StatementTables:
+    """Memoized table construction (the G2 power table costs ~1 s host time)."""
+    return StatementTables(cfg)
+
+
 def default_tables() -> StatementTables:
-    return StatementTables(StarkConfig())
+    return cached_tables(StarkConfig())

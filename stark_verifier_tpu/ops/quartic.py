@@ -66,23 +66,22 @@ def interp4(xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.ndarray:
     return F._sum_mod(jnp.moveaxis(terms, -3, -2), axis=-2)  # sum over i -> [..., 4(j), 16]
 
 
-def eval_interp4_scaled(x1: jnp.ndarray, q_rous: jnp.ndarray,
-                        wconsts: jnp.ndarray, ys: jnp.ndarray,
-                        sx: jnp.ndarray) -> jnp.ndarray:
+def eval_interp4_nodes(nodes: jnp.ndarray, x1cb: jnp.ndarray,
+                       wconsts: jnp.ndarray, ys: jnp.ndarray,
+                       sx: jnp.ndarray) -> jnp.ndarray:
     """Barycentric quartic evaluation for FRI's structured nodes x_i = q_i*x1.
 
-    x1: [..., G, 16]; q_rous: [4, 16] (the stale quartic roots, SURVEY 2.2.5);
-    wconsts: [4, 16] host constants prod_{j!=i}(q_i - q_j); ys: [..., G, 4, 16]
-    raw rows; sx: [..., 16].  Returns [..., G, 16] canonical -- identical to
-    the reference's multi_interp_4 + eval_quartic value, exploiting
-    w_i = prod_{j!=i}(x_i - x_j) = x1^3 * wconst_i.
+    nodes: [..., G, 4, 16] canonical (gathered from the power table);
+    x1cb: [..., G, 16] = x1^3; wconsts: [4, 16] host constants
+    prod_{j!=i}(q_i - q_j); ys: [..., G, 4, 16] raw rows; sx: [..., 16].
+    Returns [..., G, 16] canonical -- identical to the reference's
+    multi_interp_4 + eval_quartic value (src/utils.rs:196-244, 103-120),
+    exploiting w_i = prod_{j!=i}(x_i - x_j) = x1^3 * wconst_i.
     """
-    nodes = F.mul_mod(q_rous, x1[..., None, :])          # [..., G, 4, 16]
     sx_b = F.canon(sx)[..., None, None, :]
     d = F.sub_mod(jnp.broadcast_to(sx_b, nodes.shape), nodes)
     num = F.mul_mod(F.mul_mod(d[..., 0, :], d[..., 1, :]),
                     F.mul_mod(d[..., 2, :], d[..., 3, :]))   # [..., G, 16]
-    x1cb = F.mul_mod(F.mul_mod(x1, x1), x1)
     w = F.mul_mod(wconsts, x1cb[..., None, :])           # [..., G, 4, 16]
     den = F.mul_mod(d, w)
     lead = den.shape[:-3]

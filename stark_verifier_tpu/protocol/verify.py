@@ -83,12 +83,19 @@ def verify_low_degree_proof(l_root_words, fri, tables: StatementTables,
         prev, poly_pos, fri["poly_value"], fri["poly_sibling"],
         fri["poly_witness"], fri["poly_depth"][..., :, None])
 
-    # x-coords are quartic_rou[j] * rou_level^y (stale quartic roots,
-    # main.rs:73-80); the interpolation exploits that structure
-    tables4 = jnp.asarray(tables.level_pow4_stacked)       # [L, steps, 3, 16]
-    nbits = tables.level_pow2_stacked.shape[-2]
-    table_b = jnp.transpose(tables4, (1, 2, 0, 3))[:, :, :, None, :]  # [steps, 3, L, 1, 16]
-    x1 = F.pow_table4(table_b, ys, nbits)                  # [..., L, q, 16]
+    # x-coords are quartic_rou[j] * rou_level^y with rou_level = G2^(4^l)
+    # (stale quartic roots, main.rs:73-80): every node is a known power of G2,
+    # so nodes and x1^3 come from the master power table by gather instead of
+    # square-and-multiply chains (docs/PERF.md)
+    g2t = jnp.asarray(tables.g2_powers)                    # [precision, 16]
+    mask = jnp.uint32(cfg.precision - 1)
+    lvl_mult = jnp.asarray(
+        np.array([4 ** l for l in range(len(tables.level_rous))],
+                 dtype=np.uint32))[:, None]                # [L, 1]
+    e1 = (ys * lvl_mult) & mask                            # [..., L, q]
+    offs = jnp.arange(4, dtype=jnp.uint32) * jnp.uint32(cfg.precision // 4)
+    nodes = jnp.take(g2t, (e1[..., None] + offs) & mask, axis=0)  # [...,L,q,4,16]
+    x1cb = jnp.take(g2t, (jnp.uint32(3) * e1) & mask, axis=0)     # [...,L,q,16]
 
     rows = F.words_be_to_limbs(fri["poly_value"])          # [..., L, 4q, 16]
     rows = rows.reshape(*rows.shape[:-2], q, 4, fp.NLIMBS)
@@ -96,8 +103,8 @@ def verify_low_degree_proof(l_root_words, fri, tables: StatementTables,
     # canonical interpolated value compared to the RAW column value
     # (main.rs:84-86): a non-canonical committed value can never equal a
     # canonical lhs, exactly like the reference's unreduced BigInt equality
-    lhs = quartic.eval_interp4_scaled(
-        x1, quartic_rous, jnp.asarray(tables.quartic_wconsts), rows,
+    lhs = quartic.eval_interp4_nodes(
+        nodes, x1cb, jnp.asarray(tables.quartic_wconsts), rows,
         special_x)                                         # [..., L, q, 16]
     col_vals_raw = F.words_be_to_limbs(fri["col_value"])
     ok_val = jnp.all(jnp.all(lhs == col_vals_raw, axis=-1), axis=-1)
@@ -127,10 +134,6 @@ def verify_mimc_proof(tree, inp: int, output_limbs, tables: StatementTables,
     """
     m = cfg.modulus
     checks = []
-
-    # constants mini-polynomial via device iNTT (main.rs:125 fft_inv)
-    constants = jnp.asarray(mimc_ops.round_constants_mimc(cfg.num_constants))
-    minipoly = ntt.intt(constants, tables.minipoly_root)       # [64, 16]
 
     # FRI low-degree proof over the linear-combination tree (main.rs:127)
     checks.append(verify_low_degree_proof(tree["l_merkle_root"], tree["fri"],
@@ -165,10 +168,13 @@ def verify_mimc_proof(tree, inp: int, output_limbs, tables: StatementTables,
     b_of_x = F.canon(F.words_be_to_limbs(mv[..., 0, 2, :]))
     l_of_x = F.canon(F.words_be_to_limbs(tree["lincomb"]["value"]))
 
-    # x = G2^pos; x^steps via repeated squaring (main.rs:164-166)
-    prec_bits = tables.g2_pow2.shape[0]
-    x = F.pow_table4(jnp.asarray(tables.g2_pow4), positions, prec_bits)
-    x_to_steps = F.pow2k(x, cfg.log_steps)
+    # x = G2^pos and x^steps = G2^(steps*pos mod precision): gathers from the
+    # master power table replace square-and-multiply (main.rs:164-166)
+    g2t = jnp.asarray(tables.g2_powers)
+    mask = jnp.uint32(cfg.precision - 1)
+    x = jnp.take(g2t, positions, axis=0)                   # [..., 80, 16]
+    x_to_steps = jnp.take(
+        g2t, (positions << jnp.uint32(cfg.log_steps)) & mask, axis=0)
 
     # Z(x) = (x^steps - 1) / (x - last_step_position)  (main.rs:175-176)
     last = F.const(tables.last_step_position)
@@ -178,9 +184,10 @@ def verify_mimc_proof(tree, inp: int, output_limbs, tables: StatementTables,
     z = F.mul_mod(F.sub_mod(x_to_steps, jnp.broadcast_to(one, x_to_steps.shape)),
                   denom_inv)
 
-    # K(x) = minipoly(x^skips2)  (main.rs:177-178)
-    x_sk2 = F.pow2k(x, cfg.skips2.bit_length() - 1)
-    k_of_x = F.eval_poly(minipoly, x_sk2)
+    # K(x) = minipoly(x^skips2) takes only precision/gcd(precision, skips2)
+    # distinct values -- table lookup by pos mod period (main.rs:177-178)
+    k_of_x = jnp.take(jnp.asarray(tables.k_table),
+                      positions & jnp.uint32(tables.k_period - 1), axis=0)
 
     # transition: P(g1*x) - P(x)^3 - K(x) - Z(x)*D(x) == 0  (main.rs:179-182)
     p_cubed = F.mul_mod(F.mul_mod(p_of_x, p_of_x), p_of_x)
@@ -202,7 +209,8 @@ def verify_mimc_proof(tree, inp: int, output_limbs, tables: StatementTables,
     i_c1 = F.add_mod(F.const(iy0), iy1)
     interp_at_x = F.add_mod(i_c0[..., None, :],
                             F.mul_mod(i_c1[..., None, :], x))
-    z2_at_x = F.eval_poly(jnp.asarray(tables.zeropoly2), x)
+    # Z2(x) = (x-1)(x-last) -- reuses the Z denominator (main.rs:185)
+    z2_at_x = F.mul_mod(F.sub_mod(x, jnp.broadcast_to(one, x.shape)), denom)
     bcheck = F.sub_mod(F.sub_mod(p_of_x, F.mul_mod(b_of_x, z2_at_x)),
                        interp_at_x)
     checks.append(jnp.all(jnp.all(bcheck == 0, axis=-1), axis=-1))
@@ -227,21 +235,24 @@ def verify_mimc_proof(tree, inp: int, output_limbs, tables: StatementTables,
 def make_verifier(cfg: StarkConfig | None = None, inp: int = 3):
     """Build the jitted end-to-end verifier for a statement family.
 
-    Returns (verify_fn, tables) where verify_fn(tree) -> bool[...] recomputes
-    the MiMC output on device (mirroring main(), main.rs:205-218) and runs all
-    checks.  Works for single proofs (no batch axis) and stacked batches.
+    Returns (verify_fn, tables) where verify_fn(tree) -> bool[...] checks
+    proofs against the statement's precomputed MiMC output (the claimed
+    output is a statement-level constant, computed once on host -- the
+    reference also computes it outside the verification path, main.rs:205-218;
+    ops.mimc.mimc is the device scan for trace generation).  Works for single
+    proofs (no batch axis) and stacked batches.
     """
+    from ..config import cached_tables
     cfg = cfg or StarkConfig()
-    tables = StatementTables(cfg)
+    tables = cached_tables(cfg)
     if not cfg.sanity_ok():
         raise ValueError("statement fails reference sanity checks")
+    out_limbs = fp.int_to_limbs(mimc_ops.mimc_host(inp, cfg.num_steps))
 
     @jax.jit
     def verify_fn(tree):
-        constants = jnp.asarray(mimc_ops.round_constants_mimc(cfg.num_constants))
-        out = mimc_ops.mimc(F.const(inp), cfg.num_steps, constants)
         lead = tree["merkle_root"].shape[:-1]
-        output = jnp.broadcast_to(out, lead + (fp.NLIMBS,))
+        output = jnp.broadcast_to(jnp.asarray(out_limbs), lead + (fp.NLIMBS,))
         return verify_mimc_proof(tree, inp, output, tables, cfg)
 
     return verify_fn, tables

@@ -101,14 +101,18 @@ def main():
         special_x = F.words_be_to_limbs(prev)
         mod_b = jnp.asarray(tables.level_moduli_np)[:, None]
         ys = prg.pseudorandom_indices(root2, 40, mod_b, 8)
-        tables4 = jnp.asarray(tables.level_pow4_stacked)
-        nbits = tables.level_pow2_stacked.shape[-2]
-        table_b = jnp.transpose(tables4, (1, 2, 0, 3))[:, :, :, None, :]
-        x1 = F.pow_table4(table_b, ys, nbits)
+        g2t = jnp.asarray(tables.g2_powers)
+        mask = jnp.uint32(65535)
+        lvl_mult = jnp.asarray(np.array([4 ** l for l in range(5)],
+                                        dtype=np.uint32))[:, None]
+        e1 = (ys * lvl_mult) & mask
+        offs = jnp.arange(4, dtype=jnp.uint32) * jnp.uint32(16384)
+        nodes = jnp.take(g2t, (e1[..., None] + offs) & mask, axis=0)
+        x1cb = jnp.take(g2t, (jnp.uint32(3) * e1) & mask, axis=0)
         rows = F.words_be_to_limbs(fri["poly_value"]).reshape(
             *fri["poly_value"].shape[:-2], 40, 4, fp.NLIMBS)
-        lhs = quartic.eval_interp4_scaled(
-            x1, quartic_rous, jnp.asarray(tables.quartic_wconsts), rows,
+        lhs = quartic.eval_interp4_nodes(
+            nodes, x1cb, jnp.asarray(tables.quartic_wconsts), rows,
             special_x)
         cv = F.words_be_to_limbs(fri["col_value"])
         return jnp.all(jnp.all(jnp.all(lhs == cv, -1), -1), -1)
