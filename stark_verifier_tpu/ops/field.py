@@ -262,13 +262,14 @@ _USE_MXU_MUL = True
 
 
 @functools.lru_cache(maxsize=1)
-def _sel_matrix() -> np.ndarray:
-    sel = np.zeros((512, 32), dtype=np.float32)
+def _sel_matrices() -> tuple:
+    lo = np.zeros((256, 32), dtype=np.float32)
+    hi = np.zeros((256, 32), dtype=np.float32)
     for i in range(16):
         for j in range(16):
-            sel[i * 16 + j, i + j] = 1.0            # lo half
-            sel[256 + i * 16 + j, i + j + 1] = 1.0  # hi half
-    return sel
+            lo[i * 16 + j, i + j] = 1.0
+            hi[i * 16 + j, i + j + 1] = 1.0
+    return lo, hi
 
 
 def _mul_acc_mxu(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -277,12 +278,16 @@ def _mul_acc_mxu(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     prod = jnp.broadcast_to(prod, lead + (16, 16)).reshape(lead + (256,))
     lo = (prod & MASK).astype(jnp.float32)
     hi = (prod >> 16).astype(jnp.float32)
-    cat = jnp.concatenate([lo, hi], axis=-1)            # [..., 512]
-    sel = jnp.asarray(_sel_matrix())
-    cols = jax.lax.dot_general(
-        cat, sel, (((cat.ndim - 1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)             # [..., 32] exact ints
+    sel_lo, sel_hi = _sel_matrices()
+
+    def dot(x, s):
+        return jax.lax.dot_general(
+            x, jnp.asarray(s), (((x.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    # two dots instead of one over a concatenated [..., 512] operand: skips
+    # materializing the concat (2 KB/element of HBM traffic)
+    cols = dot(lo, sel_lo) + dot(hi, sel_hi)            # [..., 32] exact ints
     return cols.astype(jnp.uint32)
 
 

@@ -78,6 +78,14 @@ def eval_interp4_nodes(nodes: jnp.ndarray, x1cb: jnp.ndarray,
     multi_interp_4 + eval_quartic value (src/utils.rs:196-244, 103-120),
     exploiting w_i = prod_{j!=i}(x_i - x_j) = x1^3 * wconst_i.
     """
+    pre = interp4_nodes_pre(nodes, x1cb, wconsts, ys, sx)
+    inv_total = F.batch_inv(pre["total"])
+    return interp4_nodes_finish(pre, inv_total)
+
+
+def interp4_nodes_pre(nodes, x1cb, wconsts, ys, sx) -> dict:
+    """Everything before the inversion (so callers can merge the batch
+    inversion with other inverses into one Fermat chain)."""
     sx_b = F.canon(sx)[..., None, None, :]
     d = F.sub_mod(jnp.broadcast_to(sx_b, nodes.shape), nodes)
     num = F.mul_mod(F.mul_mod(d[..., 0, :], d[..., 1, :]),
@@ -91,20 +99,24 @@ def eval_interp4_nodes(nodes: jnp.ndarray, x1cb: jnp.ndarray,
     p01 = F.mul_mod(t0, t1)
     p23 = F.mul_mod(t2, t3)
     total = F.mul_mod(p01, p23)                           # [..., G, 16]
-    lead = total.shape[:-2]
-    inv_total = F.batch_inv(total.reshape(lead + (-1, 16))).reshape(total.shape)
     others = jnp.stack([F.mul_mod(t1, p23), F.mul_mod(t0, p23),
                         F.mul_mod(p01, t3), F.mul_mod(p01, t2)], axis=-2)
     terms = F.mul_mod(ys, others)
     ssum = F.add_mod(F.add_mod(terms[..., 0, :], terms[..., 1, :]),
                      F.add_mod(terms[..., 2, :], terms[..., 3, :]))
-    lhs = F.mul_mod(F.mul_mod(num, ssum), inv_total)
+    pre_lhs = F.mul_mod(num, ssum)
 
     hit = jnp.all(d == 0, axis=-1)                       # [..., G, 4]
     any_hit = jnp.any(hit, axis=-1)
     y_can = F.canon(ys)
     y_hit = jnp.sum(jnp.where(hit[..., None], y_can, 0), axis=-2).astype(jnp.uint32)
-    return jnp.where(any_hit[..., None], y_hit, lhs)
+    return {"total": total, "pre_lhs": pre_lhs, "any_hit": any_hit,
+            "y_hit": y_hit}
+
+
+def interp4_nodes_finish(pre: dict, inv_total: jnp.ndarray) -> jnp.ndarray:
+    lhs = F.mul_mod(pre["pre_lhs"], inv_total)
+    return jnp.where(pre["any_hit"][..., None], pre["y_hit"], lhs)
 
 
 def eval_interp4_at(xs: jnp.ndarray, ys: jnp.ndarray, sx: jnp.ndarray) -> jnp.ndarray:

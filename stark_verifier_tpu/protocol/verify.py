@@ -39,16 +39,11 @@ def _verify_group(root_words, indices, group, depth):
     return jnp.all(ok, axis=-1)
 
 
-def verify_low_degree_proof(l_root_words, fri, tables: StatementTables,
-                            cfg: StarkConfig, points_words=None):
-    """FRI low-degree check (reference: src/main.rs:31-97).
+def _fri_pre(l_root_words, fri, tables: StatementTables, cfg: StarkConfig):
+    """FRI low-degree check up to (but excluding) the batch inversion, so the
+    caller can fold the inversion into one shared Fermat chain.
 
-    fri: the stacked level arrays from proofio.device.proof_tree (level axis
-    after any batch axes).  The level walk is one lax.scan whose carry is the
-    running root, so the compiled graph holds a single level body.
-
-    Returns [...] bool.  The final direct check of the POINTS element is
-    (faithfully) skipped in parity mode -- main.rs:94 TODO.
+    Returns (ok_merkle [..., L], interp_pre, col_vals_raw, root2).
     """
     q = cfg.fri_queries
     quartic_rous = jnp.asarray(tables.quartic_rous)        # [4, 16] (stale)
@@ -100,18 +95,23 @@ def verify_low_degree_proof(l_root_words, fri, tables: StatementTables,
     rows = F.words_be_to_limbs(fri["poly_value"])          # [..., L, 4q, 16]
     rows = rows.reshape(*rows.shape[:-2], q, 4, fp.NLIMBS)
 
+    pre = quartic.interp4_nodes_pre(
+        nodes, x1cb, jnp.asarray(tables.quartic_wconsts), rows, special_x)
+    ok_merkle = jnp.logical_and(jnp.all(ok_col, axis=-1),
+                                jnp.all(ok_poly, axis=-1))   # [..., L]
+    col_vals_raw = F.words_be_to_limbs(fri["col_value"])
+    return ok_merkle, pre, col_vals_raw, root2
+
+
+def _fri_finish(ok_merkle, pre, col_vals_raw, root2, inv_total,
+                cfg: StarkConfig, points_words=None):
+    """Complete the FRI check given the inverted group products."""
     # canonical interpolated value compared to the RAW column value
     # (main.rs:84-86): a non-canonical committed value can never equal a
     # canonical lhs, exactly like the reference's unreduced BigInt equality
-    lhs = quartic.eval_interp4_nodes(
-        nodes, x1cb, jnp.asarray(tables.quartic_wconsts), rows,
-        special_x)                                         # [..., L, q, 16]
-    col_vals_raw = F.words_be_to_limbs(fri["col_value"])
+    lhs = quartic.interp4_nodes_finish(pre, inv_total)     # [..., L, q, 16]
     ok_val = jnp.all(jnp.all(lhs == col_vals_raw, axis=-1), axis=-1)
-
-    ok = jnp.all(jnp.logical_and(jnp.logical_and(jnp.all(ok_col, axis=-1),
-                                                 jnp.all(ok_poly, axis=-1)),
-                                 ok_val), axis=-1)
+    ok = jnp.all(jnp.logical_and(ok_merkle, ok_val), axis=-1)
 
     if cfg.strict and points_words is not None:
         last_root = root2[..., -1, :]
@@ -125,6 +125,23 @@ def verify_low_degree_proof(l_root_words, fri, tables: StatementTables,
     return ok
 
 
+def verify_low_degree_proof(l_root_words, fri, tables: StatementTables,
+                            cfg: StarkConfig, points_words=None):
+    """Standalone FRI low-degree check (reference: src/main.rs:31-97).
+
+    fri: the stacked level arrays from proofio.device.proof_tree.  All levels
+    verify in parallel (see _fri_pre).  Returns [...] bool.  The final direct
+    check of the POINTS element is (faithfully) skipped in parity mode --
+    main.rs:94 TODO; strict mode binds points to the last root.
+    """
+    ok_merkle, pre, col_vals_raw, root2 = _fri_pre(l_root_words, fri,
+                                                   tables, cfg)
+    inv_total = F.batch_inv(pre["total"].reshape(
+        *pre["total"].shape[:-3], -1, fp.NLIMBS)).reshape(pre["total"].shape)
+    return _fri_finish(ok_merkle, pre, col_vals_raw, root2, inv_total,
+                       cfg, points_words)
+
+
 def verify_mimc_proof(tree, inp: int, output_limbs, tables: StatementTables,
                       cfg: StarkConfig):
     """Full proof check; mirrors verify_mimc_proof (main.rs:99-197).
@@ -135,9 +152,11 @@ def verify_mimc_proof(tree, inp: int, output_limbs, tables: StatementTables,
     m = cfg.modulus
     checks = []
 
-    # FRI low-degree proof over the linear-combination tree (main.rs:127)
-    checks.append(verify_low_degree_proof(tree["l_merkle_root"], tree["fri"],
-                                          tables, cfg, tree.get("points")))
+    # FRI low-degree proof over the linear-combination tree (main.rs:127);
+    # its batch inversion is deferred and merged with the spot-check Z(x)
+    # denominators into one Fermat chain below
+    fri_ok_merkle, fri_pre, fri_col_vals, fri_root2 = _fri_pre(
+        tree["l_merkle_root"], tree["fri"], tables, cfg)
 
     # k1..k4 = Blake2s(merkle_root || i), raw 256-bit BE ints (main.rs:131-146)
     mroot = tree["merkle_root"]
@@ -176,10 +195,21 @@ def verify_mimc_proof(tree, inp: int, output_limbs, tables: StatementTables,
     x_to_steps = jnp.take(
         g2t, (positions << jnp.uint32(cfg.log_steps)) & mask, axis=0)
 
-    # Z(x) = (x^steps - 1) / (x - last_step_position)  (main.rs:175-176)
+    # Z(x) = (x^steps - 1) / (x - last_step_position)  (main.rs:175-176);
+    # ONE merged batch inversion covers the FRI group products and these
+    # denominators (a single Fermat chain for the whole proof)
     last = F.const(tables.last_step_position)
     denom = F.sub_mod(x, last)
-    denom_inv = F.batch_inv(denom)
+    tot = fri_pre["total"]                                 # [..., L, q, 16]
+    lq = tot.shape[-3] * tot.shape[-2]
+    lead = tot.shape[:-3]
+    dens = jnp.concatenate(
+        [tot.reshape(lead + (lq, fp.NLIMBS)), denom], axis=-2)
+    inv_all = F.batch_inv(dens)
+    inv_total = inv_all[..., :lq, :].reshape(tot.shape)
+    denom_inv = inv_all[..., lq:, :]
+    checks.append(_fri_finish(fri_ok_merkle, fri_pre, fri_col_vals,
+                              fri_root2, inv_total, cfg, tree.get("points")))
     one = F.const(1)
     z = F.mul_mod(F.sub_mod(x_to_steps, jnp.broadcast_to(one, x_to_steps.shape)),
                   denom_inv)
