@@ -36,6 +36,9 @@ def _build_parser():
         sp.add_argument("--input", type=int, default=3,
                         help="MiMC input (reference hardcodes 3, main.rs:206)")
         sp.add_argument("--log-steps", type=int, default=13)
+        sp.add_argument("--strict", action="store_true",
+                        help="also bind the FRI POINTS element to the final "
+                             "committed root (the check the reference skips)")
         sp.add_argument("--profile", action="store_true",
                         help="dump a jax.profiler trace to ./trace")
         if name == "bench":
@@ -51,7 +54,8 @@ def _prepare(args):
     from stark_verifier_tpu.proofio import wire, device
     from stark_verifier_tpu.protocol import verify as V
 
-    cfg = StarkConfig(log_steps=args.log_steps)
+    cfg = StarkConfig(log_steps=args.log_steps,
+                      strict=getattr(args, "strict", False))
     t0 = time.perf_counter()
     with open(args.proof, "rb") as f:
         proof_bytes = f.read()
