@@ -291,11 +291,17 @@ def _mul_acc_mxu(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return cols.astype(jnp.uint32)
 
 
-def reduce_wide(w: jnp.ndarray) -> jnp.ndarray:
-    """Reduce [..., 32] (< 2^512) to canonical [..., 16] in [0, p).
+_P17 = jnp.zeros(17, jnp.uint32).at[:16].set(jnp.asarray(fp.P_LIMBS))
 
-    Uses 2^256 === C (mod p) with C = 351*2^32 - 1: three folds then one
-    conditional subtract (see fp.py docstring for the bound analysis).
+
+def reduce_wide(w: jnp.ndarray, canonical: bool = True) -> jnp.ndarray:
+    """Reduce [..., 32] (< 2^512) to [..., 16].
+
+    Uses 2^256 === C (mod p) with C = 351*2^32 - 1: three folds, then either
+    a 17-limb conditional subtract of p (canonical result in [0, p)) or --
+    with canonical=False -- a fourth tiny fold yielding a "lazy" residue
+    < 2^256, valid as input to further multiplications (see fp.py docstring
+    for the bound analysis: after fold 3 the value is < 2^256 + 2^42 < 2p).
     """
     lo, hi = w[..., :16], w[..., 16:]
     # fold 1: hi (16 limbs) * C (3 limbs) -> <= 19 limbs; + lo -> < 2^298
@@ -306,22 +312,33 @@ def reduce_wide(w: jnp.ndarray) -> jnp.ndarray:
     acc2 = _mul_acc(t[..., 16:19], _C, 17)
     acc2 = acc2.at[..., :16].add(t[..., :16])
     t2 = _carry_fix(acc2)
-    # fold 3: hi3 = t2[16] in {0,1}
+    # fold 3: hi3 = t2[16] in {0,1}; t3 < 2^256 + 2^42 in 17 limbs
     acc3 = jnp.zeros(t2.shape[:-1] + (17,), jnp.uint32)
     acc3 = acc3.at[..., :16].set(t2[..., :16])
     acc3 = acc3.at[..., :3].add(t2[..., 16:17] * _C)
     t3 = _carry_fix(acc3)
-    # fold 4: t3 < 2^256 + 2^42, top limb again in {0,1}; after this < 2^256
+    if canonical:
+        # t3 < 2^256 + 2^42 < 2p: one 17-limb conditional subtract of p
+        bp = jnp.broadcast_to(_P17, t3.shape)
+        return cond_sub(t3, bp, ge(t3, bp))[..., :16]
+    # lazy: clear the 2^256 bit with one more fold -> residue < 2^256
     acc4 = jnp.zeros_like(acc3)
     acc4 = acc4.at[..., :16].set(t3[..., :16])
     acc4 = acc4.at[..., :3].add(t3[..., 16:17] * _C)
-    t4 = _carry_fix(acc4)[..., :16]
-    return canon(t4)
+    return _carry_fix(acc4)[..., :16]
 
 
 def mul_mod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a * b) mod p; inputs may be any values < 2^256 (not necessarily < p)."""
+    """(a * b) mod p, canonical; inputs may be any values < 2^256."""
     return reduce_wide(mul_wide(a, b))
+
+
+def mul_mod_lazy(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a * b) mod 2^256-congruent residue: output < 2^256, same residue
+    class mod p.  Valid wherever the result only feeds multiplications (which
+    accept any < 2^256 input); comparisons and add/sub need canonical values.
+    """
+    return reduce_wide(mul_wide(a, b), canonical=False)
 
 
 def sqr_mod(a: jnp.ndarray) -> jnp.ndarray:
@@ -361,13 +378,13 @@ def pow_bits(x: jnp.ndarray, bits_msb_first) -> jnp.ndarray:
     base = canon(x)
 
     def step(r, bit):
-        r = sqr_mod(r)
-        rm = mul_mod(r, base)
+        r = mul_mod_lazy(r, r)          # lazy inside the chain
+        rm = mul_mod_lazy(r, base)
         r = jnp.where((bit == 1), rm, r)
         return r, None
 
     r, _ = lax.scan(step, r, bits)
-    return r
+    return canon(r)
 
 
 def inv_mod(x: jnp.ndarray) -> jnp.ndarray:
@@ -435,7 +452,9 @@ def batch_inv(v: jnp.ndarray, axis: int = -2) -> jnp.ndarray:
     vv = jnp.where(is_zero, one, v)
 
     def combine(a, b):
-        return mul_mod(a, b)
+        # lazy residues are fine inside the product scans (only fed to muls;
+        # inv_mod canonicalizes its input)
+        return mul_mod_lazy(a, b)
 
     scan_axis = vv.ndim - 2  # positive axis (negative axes break lax.rev inside)
     pre = lax.associative_scan(combine, vv, axis=scan_axis)                # inclusive prefix
@@ -451,7 +470,7 @@ def batch_inv(v: jnp.ndarray, axis: int = -2) -> jnp.ndarray:
         [suf[..., 1:, :],
          jnp.broadcast_to(const(1), v.shape[:-2] + (1, NLIMBS)).astype(jnp.uint32)],
         axis=-2)
-    out = mul_mod(mul_mod(pre_excl, suf_excl), itot[..., None, :])
+    out = mul_mod(mul_mod_lazy(pre_excl, suf_excl), itot[..., None, :])
     out = jnp.where(is_zero, jnp.zeros_like(out), out)
     if axis != -2:
         out = jnp.moveaxis(out, -2, axis)

@@ -88,23 +88,28 @@ def interp4_nodes_pre(nodes, x1cb, wconsts, ys, sx) -> dict:
     inversion with other inverses into one Fermat chain)."""
     sx_b = F.canon(sx)[..., None, None, :]
     d = F.sub_mod(jnp.broadcast_to(sx_b, nodes.shape), nodes)
-    num = F.mul_mod(F.mul_mod(d[..., 0, :], d[..., 1, :]),
-                    F.mul_mod(d[..., 2, :], d[..., 3, :]))   # [..., G, 16]
-    w = F.mul_mod(wconsts, x1cb[..., None, :])           # [..., G, 4, 16]
-    t = F.mul_mod(d, w)                                   # t_i = d_i * w_i
+    # lazy (< 2^256) residues through the pure multiplication chains; values
+    # only become canonical where they feed adds, inversion inputs, or the
+    # final compared evaluation
+    num = F.mul_mod_lazy(F.mul_mod_lazy(d[..., 0, :], d[..., 1, :]),
+                         F.mul_mod_lazy(d[..., 2, :], d[..., 3, :]))
+    w = F.mul_mod_lazy(wconsts, x1cb[..., None, :])      # [..., G, 4, 16]
+    t = F.mul_mod_lazy(d, w)                              # t_i = d_i * w_i
 
     # one inversion per GROUP: 1/t_i = (prod_{j!=i} t_j) * inv(prod_j t_j),
     # shrinking the shared batch-inversion scans 4x
     t0, t1, t2, t3 = (t[..., i, :] for i in range(4))
-    p01 = F.mul_mod(t0, t1)
-    p23 = F.mul_mod(t2, t3)
+    p01 = F.mul_mod_lazy(t0, t1)
+    p23 = F.mul_mod_lazy(t2, t3)
+    # canonical: feeds the batch inversion, whose zero-guard must see exact 0
     total = F.mul_mod(p01, p23)                           # [..., G, 16]
-    others = jnp.stack([F.mul_mod(t1, p23), F.mul_mod(t0, p23),
-                        F.mul_mod(p01, t3), F.mul_mod(p01, t2)], axis=-2)
-    terms = F.mul_mod(ys, others)
+    others = jnp.stack([F.mul_mod_lazy(t1, p23), F.mul_mod_lazy(t0, p23),
+                        F.mul_mod_lazy(p01, t3), F.mul_mod_lazy(p01, t2)],
+                       axis=-2)
+    terms = F.mul_mod(ys, others)                         # canonical: summed
     ssum = F.add_mod(F.add_mod(terms[..., 0, :], terms[..., 1, :]),
                      F.add_mod(terms[..., 2, :], terms[..., 3, :]))
-    pre_lhs = F.mul_mod(num, ssum)
+    pre_lhs = F.mul_mod_lazy(num, ssum)
 
     hit = jnp.all(d == 0, axis=-1)                       # [..., G, 4]
     any_hit = jnp.any(hit, axis=-1)

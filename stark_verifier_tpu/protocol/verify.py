@@ -220,7 +220,7 @@ def verify_mimc_proof(tree, inp: int, output_limbs, tables: StatementTables,
                       positions & jnp.uint32(tables.k_period - 1), axis=0)
 
     # transition: P(g1*x) - P(x)^3 - K(x) - Z(x)*D(x) == 0  (main.rs:179-182)
-    p_cubed = F.mul_mod(F.mul_mod(p_of_x, p_of_x), p_of_x)
+    p_cubed = F.mul_mod(F.mul_mod_lazy(p_of_x, p_of_x), p_of_x)
     t = F.sub_mod(F.sub_mod(F.sub_mod(p_of_g1x, p_cubed), k_of_x),
                   F.mul_mod(z, d_of_x))
     checks.append(jnp.all(jnp.all(t == 0, axis=-1), axis=-1))
@@ -240,15 +240,16 @@ def verify_mimc_proof(tree, inp: int, output_limbs, tables: StatementTables,
     interp_at_x = F.add_mod(i_c0[..., None, :],
                             F.mul_mod(i_c1[..., None, :], x))
     # Z2(x) = (x-1)(x-last) -- reuses the Z denominator (main.rs:185)
-    z2_at_x = F.mul_mod(F.sub_mod(x, jnp.broadcast_to(one, x.shape)), denom)
+    z2_at_x = F.mul_mod_lazy(F.sub_mod(x, jnp.broadcast_to(one, x.shape)),
+                             denom)
     bcheck = F.sub_mod(F.sub_mod(p_of_x, F.mul_mod(b_of_x, z2_at_x)),
                        interp_at_x)
     checks.append(jnp.all(jnp.all(bcheck == 0, axis=-1), axis=-1))
 
     # lincomb: L(x) = D + k1*P + k2*P*x^steps + k3*B + k4*B*x^steps
     # with raw unreduced k's (main.rs:188-192; SURVEY 2.2.3)
-    p_xs = F.mul_mod(p_of_x, x_to_steps)
-    b_xs = F.mul_mod(b_of_x, x_to_steps)
+    p_xs = F.mul_mod_lazy(p_of_x, x_to_steps)
+    b_xs = F.mul_mod_lazy(b_of_x, x_to_steps)
     lc = F.sub_mod(l_of_x, d_of_x)
     lc = F.sub_mod(lc, F.mul_mod(ks[0][..., None, :], p_of_x))
     lc = F.sub_mod(lc, F.mul_mod(ks[1][..., None, :], p_xs))
