@@ -1,0 +1,62 @@
+"""Corruption fuzz: single byte flips anywhere in the proof must reject.
+
+Every flipped byte lands in some component (roots, branch values, siblings,
+witnesses, length prefixes, FRI points in strict mode) -- the batched
+verifier or the parser must reject each one while the untouched proof still
+accepts.  This is the negative-test sweep of SURVEY.md section 4(c)."""
+
+import random
+
+import numpy as np
+
+import stark_verifier_tpu as sv
+from stark_verifier_tpu.config import StarkConfig
+from stark_verifier_tpu.proofio import wire, device
+from stark_verifier_tpu.protocol import verify as V
+
+rng = random.Random(0xF1A7)
+
+
+def test_random_byte_flips_reject(proof_bytes):
+    fn, _ = V.make_verifier(StarkConfig())
+    n = len(proof_bytes)
+    # deterministic spread of offsets across the whole wire format, plus the
+    # structurally interesting first bytes of each region
+    offsets = sorted({0, 32, 64, 68, 100, 104, 110, n - 1, n - 33}
+                     | {rng.randrange(n) for _ in range(16)})
+    accepted = []
+    for off in offsets:
+        b = bytearray(proof_bytes)
+        b[off] ^= 1 << rng.randrange(8)
+        blob = bytes(b)
+        try:
+            tree = device.to_device(device.proof_tree(wire.parse_proof(blob)))
+        except wire.WireFormatError:
+            continue  # parser rejected: fine
+        if bool(np.asarray(fn(tree))):
+            accepted.append(off)
+    # the POINTS element is parsed but ignored in parity mode -- flips there
+    # legitimately accept (reference behavior); everything else must reject
+    for off in accepted:
+        assert _in_ignored_region(off, proof_bytes), \
+            f"flip at offset {off} accepted outside the ignored POINTS region"
+    # sanity: untouched proof still accepts
+    tree = device.to_device(device.proof_tree(wire.parse_proof(proof_bytes)))
+    assert bool(np.asarray(fn(tree)))
+
+
+def _in_ignored_region(off: int, proof_bytes: bytes) -> bool:
+    """True if `off` lies in the POINTS payload (ignored in parity mode)."""
+    r = wire._Reader(proof_bytes)
+    r.take(64)
+    while True:
+        tag = r.u32()
+        if tag == 1:
+            r.take(32)
+            wire._parse_multiproof(r)
+            wire._parse_multiproof(r)
+        elif tag == 2:
+            psize = r.u32()
+            start = r.off
+            return start <= off < start + psize
+    return False
