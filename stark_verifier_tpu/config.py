@@ -56,6 +56,18 @@ class StarkConfig:
             lv += 1
         return lv
 
+    @property
+    def fri_final_maxdeg_plus_1(self) -> int:
+        """max_deg_plus_1 after all FRI folds (the reference threads this but
+        never checks it -- src/main.rs:31,89; the strict-mode direct check
+        makes it load-bearing)."""
+        return (self.num_steps * 2) >> (2 * self.fri_levels)
+
+    @property
+    def fri_final_domain(self) -> int:
+        """Evaluation-domain size of the final (POINTS) layer."""
+        return self.precision >> (2 * self.fri_levels)
+
     def sanity_ok(self, num_constants: int | None = None) -> bool:
         """The reference's input prechecks (src/main.rs:101-111) -- the only
         failures that return false rather than panic."""
@@ -124,6 +136,10 @@ class StatementTables:
                     prod = prod * (qr[i] - qr[j]) % m
             wc.append(prod % m)
         self.quartic_wconsts = fp.ints_to_limbs(wc)
+        # host inverses of the weight constants: with them (and x1^-3 gathered
+        # from the power table) the FRI row check needs NO field inversion
+        # (ops/quartic.eval4_inv_free)
+        self.quartic_winv = fp.ints_to_limbs([pow(w, m - 2, m) for w in wc])
         self.last_step_position = pow(self.G2, (cfg.num_steps - 1) * cfg.skips, m)
         # zeropoly2 = (x - 1)(x - last) = [last, -(1+last), 1]  (main.rs:185)
         self.zeropoly2 = fp.ints_to_limbs([
@@ -149,14 +165,67 @@ class StatementTables:
         kb = pow(self.G2, cfg.skips2, m)
         self.k_table = self._eval_table(minipoly, kb, self.k_period)
 
+        # Z(x) = (x^steps - 1)/(x - last) and Z2(x) = (x-1)(x-last) take one
+        # value per domain position x = G2^pos (main.rs:175-176,183-185):
+        # precomputing them turns the spot-check divisions into gathers --
+        # together with eval4_inv_free this removes EVERY inversion (and the
+        # whole Fermat/batch-inversion machinery) from the verifier graph.
+        pw = self._g2_powers_int
+        mask = cfg.precision - 1
+        last = self.last_step_position
+        denoms = [(x - last) % m for x in pw]
+        inv_den = _batch_inv_host(denoms, m)
+        self.z_table = fp.ints_to_limbs_fast(
+            [(pw[(j << cfg.log_steps) & mask] - 1) * inv_den[j] % m
+             for j in range(cfg.precision)])
+        self.z2_table = fp.ints_to_limbs_fast(
+            [(pw[j] - 1) * denoms[j] % m for j in range(cfg.precision)])
+
+        # Strict-mode direct low-degree check of the final FRI (POINTS) layer
+        # (the TODO the reference leaves open, src/main.rs:94): upstream
+        # mimc_stark interpolates the first max_deg_plus_1 positions NOT
+        # divisible by extension_factor and re-evaluates the remaining ones.
+        # The interpolation nodes are powers of the final-domain root (host
+        # constants), so the whole check collapses to one precomputed
+        # evaluation matrix: data[pts[k+D]] ?= sum_i M[k, i] * data[pts[i]].
+        nd = cfg.fri_final_domain
+        deg = cfg.fri_final_maxdeg_plus_1
+        rou_last = pow(self.G2, 4 ** cfg.fri_levels, m)
+        self.points_pts = np.array(
+            [x for x in range(nd) if x % cfg.extension_factor], dtype=np.int64)
+        pts = self.points_pts
+        assert len(pts) > deg, "no held-out positions for the direct check"
+        powl = [pow(rou_last, int(x), m) for x in range(nd)]
+        nodes = [powl[int(x)] for x in pts[:deg]]
+        # denominators prod_{k != i} (n_i - n_k), numerators via batch inv
+        dens = [1] * deg
+        for i in range(deg):
+            for k in range(deg):
+                if k != i:
+                    dens[i] = dens[i] * (nodes[i] - nodes[k]) % m
+        targets = [powl[int(x)] for x in pts[deg:]]
+        diffs = [(t - n) % m for t in targets for n in nodes]
+        inv_all = _batch_inv_host([d % m for d in dens] + diffs, m)
+        inv_dens, inv_diffs = inv_all[:deg], inv_all[deg:]
+        mat = []
+        for j, t in enumerate(targets):
+            nfull = 1
+            for n in nodes:
+                nfull = nfull * (t - n) % m
+            mat.append([nfull * inv_diffs[j * deg + i] % m * inv_dens[i] % m
+                        for i in range(deg)])
+        self.points_eval_matrix = np.stack(
+            [fp.ints_to_limbs_fast(row) for row in mat])   # [nd-e-deg, deg, 16]
+
     def _power_table(self, base: int, n: int) -> np.ndarray:
-        out = np.zeros((n, fp.NLIMBS), dtype=np.uint32)
-        cur = 1
         m = self.cfg.modulus
-        for i in range(n):
-            out[i] = fp.int_to_limbs(cur)
+        vals = [1] * n
+        cur = 1
+        for i in range(1, n):
             cur = cur * base % m
-        return out
+            vals[i] = cur
+        self._g2_powers_int = vals          # kept for derived host tables
+        return fp.ints_to_limbs_fast(vals)
 
     def _eval_table(self, coeffs: list, base: int, n: int) -> np.ndarray:
         """[n, 16]: poly(base^t) for t < n."""
@@ -197,6 +266,23 @@ class StatementTables:
         roots.pop()
         inv_len = pow(len(vals), m - 2, m)
         return [x * inv_len % m for x in _fft(vals, roots)]
+
+
+def _batch_inv_host(vals: list, m: int) -> list:
+    """Montgomery-trick batch inversion over host ints; zeros map to 0
+    (matching the reference's inv, src/utils.rs:139-167)."""
+    n = len(vals)
+    pre = [1] * (n + 1)
+    for i, v in enumerate(vals):
+        pre[i + 1] = pre[i] * (v if v else 1) % m
+    inv_total = pow(pre[n], m - 2, m)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        v = vals[i]
+        if v:
+            out[i] = pre[i] * inv_total % m
+            inv_total = inv_total * v % m
+    return out
 
 
 @functools.lru_cache(maxsize=8)

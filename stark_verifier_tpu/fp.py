@@ -61,6 +61,14 @@ def ints_to_limbs(xs, n: int = NLIMBS) -> np.ndarray:
     return out
 
 
+def ints_to_limbs_fast(xs, n: int = NLIMBS) -> np.ndarray:
+    """Bulk int -> limbs via to_bytes + frombuffer (~20x ints_to_limbs; needed
+    for the 2^16..2^20-entry gather tables)."""
+    nbytes = 2 * n
+    buf = b"".join(x.to_bytes(nbytes, "little") for x in xs)
+    return np.frombuffer(buf, dtype="<u2").astype(np.uint32).reshape(len(xs), n)
+
+
 def be_bytes_to_limbs(b: np.ndarray) -> np.ndarray:
     """[..., 32] uint8 big-endian byte view -> [..., 16] uint32 limbs.
 

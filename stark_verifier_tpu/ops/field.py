@@ -24,12 +24,16 @@ import numpy as np
 from jax import lax
 
 from .. import fp
+from .. import debug
 
 NLIMBS = fp.NLIMBS
-MASK = jnp.uint32(fp.LIMB_MASK)
+MASK = np.uint32(fp.LIMB_MASK)
 
-_P = jnp.asarray(fp.P_LIMBS)          # [16]
-_C = jnp.asarray(fp.FOLD_C_LIMBS)     # [3]  (2^256 mod p)
+_P = np.asarray(fp.P_LIMBS)           # [16]
+_C = np.asarray(fp.FOLD_C_LIMBS)      # [3]  (2^256 mod p)
+# NOTE: module-level constants stay numpy so importing the library never
+# initializes the XLA backend (jax.distributed.initialize must run first
+# in multi-process deployments); jnp ops convert them at trace time.
 
 
 def const(x: int) -> jnp.ndarray:
@@ -150,10 +154,18 @@ def cond_sub(a: jnp.ndarray, b: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
 
 
 def canon(a: jnp.ndarray) -> jnp.ndarray:
-    """Reduce a value < 2^256 into canonical [0, p) (single conditional subtract,
-    valid because 2^256 < 2p)."""
-    bp = jnp.broadcast_to(_P, a.shape)
-    return cond_sub(a, bp, ge(a, bp))
+    """Reduce a value < 2^256 into canonical [0, p).
+
+    Uses p = 2^256 - C:  a >= p  <=>  a + C >= 2^256, so one 17-limb add of
+    the 3-limb constant C exposes the compare as its carry-out limb and the
+    reduced value as its low limbs -- no multi-limb compare (argmax/gather)
+    and no separate subtract.
+    """
+    t = jnp.zeros(a.shape[:-1] + (NLIMBS + 1,), jnp.uint32)
+    t = t.at[..., :NLIMBS].set(a)
+    t = t.at[..., :3].add(jnp.broadcast_to(_C, a.shape[:-1] + (3,)))
+    t = _carry_fix(t)
+    return jnp.where(t[..., NLIMBS:] > 0, t[..., :NLIMBS], a)
 
 
 # ---------------------------------------------------------------------------
@@ -161,34 +173,48 @@ def canon(a: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def add_mod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a + b) mod p for canonical inputs."""
+    """(a + b) mod p for canonical inputs.
+
+    Computes s = a + b and u = s + C in one STACKED carry normalization
+    ([..., 2, 17] -- one Kogge pass covers both), then selects: s >= p
+    <=> u >= 2^256 <=> u's carry-out limb is set, in which case the answer
+    is u's low limbs (s + C - 2^256 = s - p)."""
+    debug.check_limbs(a, "add_mod lhs")
+    debug.check_limbs(b, "add_mod rhs")
     shape = jnp.broadcast_shapes(a.shape, b.shape)
-    s = jnp.zeros(shape[:-1] + (NLIMBS + 1,), jnp.uint32)
-    s = s.at[..., :NLIMBS].set(a + b)
+    s = jnp.zeros(shape[:-1] + (2, NLIMBS + 1), jnp.uint32)
+    s = s.at[..., 0, :NLIMBS].set(a + b)
+    s = s.at[..., 1, :NLIMBS].set(a + b)
+    s = s.at[..., 1, :3].add(jnp.broadcast_to(_C, shape[:-1] + (3,)))
     s = _carry_fix(s)
-    p17 = jnp.zeros((NLIMBS + 1,), jnp.uint32).at[:NLIMBS].set(_P)
-    bp = jnp.broadcast_to(p17, s.shape)
-    s = cond_sub(s, bp, ge(s, bp))
-    return s[..., :NLIMBS]
+    takes = s[..., 1, NLIMBS:] > 0
+    return jnp.where(takes, s[..., 1, :NLIMBS], s[..., 0, :NLIMBS])
+
+
+_NOT_C16 = (np.full(16, fp.LIMB_MASK, dtype=np.uint32)
+            - np.pad(fp.FOLD_C_LIMBS, (0, 13)))   # 2^256 - 1 - C (16 limbs)
 
 
 def sub_mod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a - b) mod p for canonical inputs: computed as (a + p) - b, then one
-    conditional subtract of p (per-limb p_i - b_i can underflow, so b is
-    subtracted after the a+p carry fix, with full borrow handling)."""
+    """(a - b) mod p for canonical inputs, via complement adds.
+
+    Both candidates are formed pre-normalization and share one stacked carry
+    pass:  r0 = a + ~b + 1 (= a - b + 2^256; carry-out limb == 1 iff a >= b)
+    and    r1 = a + ~b + ~C + 2 (= a - b + p + 2^256; its low limbs are
+    a - b + p, the a < b answer).  No multi-limb compare, no conditional
+    subtract."""
+    debug.check_limbs(a, "sub_mod lhs")
+    debug.check_limbs(b, "sub_mod rhs")
     shape = jnp.broadcast_shapes(a.shape, b.shape)
-    a = jnp.broadcast_to(a, shape)
-    b = jnp.broadcast_to(b, shape)
-    s = jnp.zeros(shape[:-1] + (NLIMBS + 1,), jnp.uint32)
-    s = s.at[..., :NLIMBS].set(a + _P)
+    nb = MASK - b
+    s = jnp.zeros(shape[:-1] + (2, NLIMBS + 1), jnp.uint32)
+    s = s.at[..., 0, :NLIMBS].set(a + nb)
+    s = s.at[..., 0, 0].add(jnp.uint32(1))
+    s = s.at[..., 1, :NLIMBS].set(a + nb + _NOT_C16)
+    s = s.at[..., 1, 0].add(jnp.uint32(2))
     s = _carry_fix(s)
-    b17 = jnp.zeros(shape[:-1] + (NLIMBS + 1,), jnp.uint32)
-    b17 = b17.at[..., :NLIMBS].set(b)
-    s = _sub_raw(s, b17)
-    p17 = jnp.zeros((NLIMBS + 1,), jnp.uint32).at[:NLIMBS].set(_P)
-    bp = jnp.broadcast_to(p17, s.shape)
-    s = cond_sub(s, bp, ge(s, bp))
-    return s[..., :NLIMBS]
+    a_ge_b = s[..., 0, NLIMBS:] > 0
+    return jnp.where(a_ge_b, s[..., 0, :NLIMBS], s[..., 1, :NLIMBS])
 
 
 def neg_mod(a: jnp.ndarray) -> jnp.ndarray:
@@ -291,58 +317,148 @@ def _mul_acc_mxu(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return cols.astype(jnp.uint32)
 
 
-_P17 = jnp.zeros(17, jnp.uint32).at[:16].set(jnp.asarray(fp.P_LIMBS))
+_P17 = np.pad(fp.P_LIMBS, (0, 1))     # [17]
+
+
+def _acc_mul_c(acc: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """acc[..., k:k+nm(+1)] += C * m for UNNORMALIZED m (limbs < 2^25).
+
+    C's three 16-bit limbs multiply m's on-the-fly 16-bit split, so no carry
+    normalization of m is needed first; every partial product is exact in
+    uint32 and accumulator limbs stay < 2^27 (the _carry_fix input bound).
+    """
+    nm = m.shape[-1]
+    m_lo = m & MASK
+    m_hi = m >> 16
+    for k in range(3):
+        c = jnp.uint32(int(fp.FOLD_C_LIMBS[k]))
+        p_lo = m_lo * c                       # < 2^32: split halves
+        acc = acc.at[..., k:k + nm].add(p_lo & MASK)
+        acc = acc.at[..., k + 1:k + nm + 1].add(p_lo >> 16)
+        acc = acc.at[..., k + 1:k + nm + 1].add(m_hi * c)   # < 2^25: direct
+    return acc
+
+
+def _fold_cols(w: jnp.ndarray, canonical: bool = True) -> jnp.ndarray:
+    """Reduce UNNORMALIZED 512-bit product columns [..., 32] (limbs < 2^21)
+    to [..., 16] mod p.
+
+    Carry-pass-minimal redesign of the fold chain: folds 1-2 run on
+    unnormalized columns (the C multiplier splits its operand on the fly, see
+    _acc_mul_c), so only TWO carry normalizations remain -- one after the
+    folds, and one stacked [..., 2, 17] pass that simultaneously normalizes
+    the last fold and its +C shifted copy, whose carry-out limb is the
+    "value >= p" flag (p = 2^256 - C).  Canonical output is therefore as
+    cheap as a lazy (< 2^256) residue.
+    """
+    lead = w.shape[:-1]
+    # fold 1: lo + C * hi    (columns < 2^23.2, 20 limbs)
+    acc = jnp.zeros(lead + (20,), jnp.uint32).at[..., :16].set(w[..., :16])
+    acc = _acc_mul_c(acc, w[..., 16:32])
+    # fold 2: + C * top-4    (columns < 2^25.3, 16 limbs, value < 2^270)
+    acc2 = jnp.zeros(lead + (NLIMBS + 1,), jnp.uint32)
+    acc2 = acc2.at[..., :NLIMBS].set(acc[..., :16])
+    acc2 = _acc_mul_c(acc2, acc[..., 16:20])
+    t = _carry_fix(acc2)                       # [..., 17]; t[16] < 2^14
+    # fold 3: v = t[:16] + C * t[16]  (< 2^256 + 2^56), built pre-carry;
+    # stacked with u = v + C so one Kogge pass yields both the normalized
+    # residue and the canonical select
+    t16 = t[..., 16:17]
+    v = jnp.zeros(lead + (2, NLIMBS + 1), jnp.uint32)
+    v = v.at[..., 0, :NLIMBS].set(t[..., :16])
+    for k in range(3):
+        c = jnp.uint32(int(fp.FOLD_C_LIMBS[k]))
+        p = t16[..., 0] * c                   # < 2^30: split halves
+        v = v.at[..., 0, k].add(p & MASK)
+        v = v.at[..., 0, k + 1].add(p >> 16)
+    v = v.at[..., 1, :].set(v[..., 0, :])
+    v = v.at[..., 1, :3].add(jnp.broadcast_to(_C, lead + (3,)))
+    v = _carry_fix(v)
+    vn = v[..., 0, :]                          # normalized v, vn[16] in {0,1}
+    un = v[..., 1, :]                          # normalized v + C
+    if canonical:
+        # v >= p  <=>  u >= 2^256  <=>  un[16] >= 1  (covers vn[16] == 1 too)
+        r = jnp.where(un[..., NLIMBS:] > 0,
+                      un[..., :NLIMBS], vn[..., :NLIMBS])
+        debug.check_limbs(r, "_fold_cols canonical output")
+        return r
+    # lazy (< 2^256): clear vn's 2^256 bit with one final tiny fold
+    top = vn[..., NLIMBS]
+    r = vn[..., :NLIMBS]
+    r = r.at[..., 0].add(top * _C[0])
+    r = r.at[..., 1].add(top * _C[1])
+    r = r.at[..., 2].add(top * _C[2])
+    return _carry_fix(r)
 
 
 def reduce_wide(w: jnp.ndarray, canonical: bool = True) -> jnp.ndarray:
-    """Reduce [..., 32] (< 2^512) to [..., 16].
-
-    Uses 2^256 === C (mod p) with C = 351*2^32 - 1: three folds, then either
-    a 17-limb conditional subtract of p (canonical result in [0, p)) or --
-    with canonical=False -- a fourth tiny fold yielding a "lazy" residue
-    < 2^256, valid as input to further multiplications (see fp.py docstring
-    for the bound analysis: after fold 3 the value is < 2^256 + 2^42 < 2p).
-    """
-    lo, hi = w[..., :16], w[..., 16:]
-    # fold 1: hi (16 limbs) * C (3 limbs) -> <= 19 limbs; + lo -> < 2^298
-    acc = _mul_acc(hi, _C, 19)
-    acc = acc.at[..., :16].add(lo)
-    t = _carry_fix(acc)
-    # fold 2: hi2 = t[16:19] (< 2^42); * C -> 6 limbs; + t[:16] -> < 2^256 + 2^84
-    acc2 = _mul_acc(t[..., 16:19], _C, 17)
-    acc2 = acc2.at[..., :16].add(t[..., :16])
-    t2 = _carry_fix(acc2)
-    # fold 3: hi3 = t2[16] in {0,1}; t3 < 2^256 + 2^42 in 17 limbs
-    acc3 = jnp.zeros(t2.shape[:-1] + (17,), jnp.uint32)
-    acc3 = acc3.at[..., :16].set(t2[..., :16])
-    acc3 = acc3.at[..., :3].add(t2[..., 16:17] * _C)
-    t3 = _carry_fix(acc3)
-    if canonical:
-        # t3 < 2^256 + 2^42 < 2p: one 17-limb conditional subtract of p
-        bp = jnp.broadcast_to(_P17, t3.shape)
-        return cond_sub(t3, bp, ge(t3, bp))[..., :16]
-    # lazy: clear the 2^256 bit with one more fold -> residue < 2^256
-    acc4 = jnp.zeros_like(acc3)
-    acc4 = acc4.at[..., :16].set(t3[..., :16])
-    acc4 = acc4.at[..., :3].add(t3[..., 16:17] * _C)
-    return _carry_fix(acc4)[..., :16]
+    """Reduce [..., 32] (< 2^512, normalized or unnormalized limbs < 2^21)
+    to [..., 16] using 2^256 === C (mod p) with C = 351*2^32 - 1."""
+    return _fold_cols(w, canonical=canonical)
 
 
 def mul_mod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a * b) mod p, canonical; inputs may be any values < 2^256."""
-    return reduce_wide(mul_wide(a, b))
+    """(a * b) mod p, canonical; inputs may be any values < 2^256.
+
+    Fused path: the MXU column accumulator feeds the fold chain directly
+    (no intermediate 32-limb carry normalization)."""
+    if _USE_MXU_MUL:
+        return _fold_cols(_mul_acc_mxu(a, b))
+    return _fold_cols(_mul_acc(a, b, 32))
 
 
 def mul_mod_lazy(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a * b) mod 2^256-congruent residue: output < 2^256, same residue
-    class mod p.  Valid wherever the result only feeds multiplications (which
-    accept any < 2^256 input); comparisons and add/sub need canonical values.
-    """
-    return reduce_wide(mul_wide(a, b), canonical=False)
+    """(a * b) mod p.  Historically a cheaper < 2^256 residue; with the
+    stacked-normalization fold the canonical result is just as cheap, so
+    this is now an alias kept for call-site intent."""
+    return mul_mod(a, b)
+
+
+# --- squaring ---------------------------------------------------------------
+# a^2's product matrix is symmetric: only the 136 (i <= j) limb pairs are
+# multiplied and the off-diagonal doubling folds into the selection matmul
+# weights (2.0 entries; column sums stay < 2^22, exact in f32).
+
+_SQR_I = np.array([i for i in range(16) for j in range(i, 16)], dtype=np.int32)
+_SQR_J = np.array([j for i in range(16) for j in range(i, 16)], dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=1)
+def _sqr_sel_matrices() -> tuple:
+    lo = np.zeros((136, 32), dtype=np.float32)
+    hi = np.zeros((136, 32), dtype=np.float32)
+    for t in range(136):
+        i, j = int(_SQR_I[t]), int(_SQR_J[t])
+        wgt = 1.0 if i == j else 2.0
+        lo[t, i + j] = wgt
+        hi[t, i + j + 1] = wgt
+    return lo, hi
+
+
+def _sqr_acc_mxu(a: jnp.ndarray) -> jnp.ndarray:
+    ai = a[..., _SQR_I]
+    aj = a[..., _SQR_J]
+    prod = ai * aj                             # [..., 136] exact u32
+    lo = (prod & MASK).astype(jnp.float32)
+    hi = (prod >> 16).astype(jnp.float32)
+    sel_lo, sel_hi = _sqr_sel_matrices()
+
+    def dot(x, s):
+        return jax.lax.dot_general(
+            x, jnp.asarray(s), (((x.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    cols = dot(lo, sel_lo) + dot(hi, sel_hi)   # [..., 32] exact ints < 2^22
+    return cols.astype(jnp.uint32)
 
 
 def sqr_mod(a: jnp.ndarray) -> jnp.ndarray:
-    return mul_mod(a, a)
+    """a^2 mod p, canonical; input any value < 2^256.  ~47% less elementwise
+    prep than mul_mod(a, a) via the triangular product."""
+    if _USE_MXU_MUL:
+        return _fold_cols(_sqr_acc_mxu(a))
+    return _fold_cols(_mul_acc(a, a, 32))
 
 
 # ---------------------------------------------------------------------------
@@ -389,9 +505,41 @@ def pow_bits(x: jnp.ndarray, bits_msb_first) -> jnp.ndarray:
 
 def inv_mod(x: jnp.ndarray) -> jnp.ndarray:
     """x^(p-2) mod p (Fermat); maps 0 -> 0, matching the reference's inv
-    semantics at its call sites (reference: src/utils.rs:139-167)."""
-    bits = [int(b) for b in bin(fp.MODULUS - 2)[2:]]
-    return pow_bits(x, bits)
+    semantics at its call sites (reference: src/utils.rs:139-167).
+
+    Addition chain exploiting the sparse prime: p - 2 = 2^256 - 351*2^32 - 1
+    is, in binary, 215 ones ++ 010100000 ++ 32 ones.  x^(2^k - 1) building
+    blocks (doubling ladder) cover the one-runs, so the chain costs 255
+    squarings (cheap: sqr_mod's triangular product) + 15 multiplies, versus
+    ~495 multiply-equivalents for scanned square-and-multiply.  The long
+    squaring runs sit in fori_loops, keeping the compiled graph ~30 ops.
+    """
+    x = canon(x)
+
+    def sm(r, k, t):
+        return mul_mod(pow2k(r, k), t)     # r^(2^k) * t
+
+    r1 = x
+    r2 = sm(r1, 1, r1)                     # x^(2^2 - 1)
+    r4 = sm(r2, 2, r2)
+    r8 = sm(r4, 4, r4)
+    r16 = sm(r8, 8, r8)
+    r32 = sm(r16, 16, r16)
+    r64 = sm(r32, 32, r32)
+    r128 = sm(r64, 64, r64)
+    u = sm(r128, 64, r64)                  # x^(2^192 - 1)
+    u = sm(u, 16, r16)                     # 208 ones
+    u = sm(u, 4, r4)                       # 212
+    u = sm(u, 2, r2)                       # 214
+    u = sm(u, 1, r1)                       # x^(2^215 - 1)
+    # tail block: 2^224 - 352 = (2^215 - 1)*2^9 + 160, 160 = 0b010100000
+    u = sqr_mod(u)
+    u = mul_mod(sqr_mod(u), x)
+    u = sqr_mod(u)
+    u = mul_mod(sqr_mod(u), x)
+    u = pow2k(u, 5)                        # x^(2^224 - 352)
+    # low word: e = (2^224 - 352)*2^32 + (2^32 - 1) = p - 2
+    return sm(u, 32, r32)
 
 
 def pow_table(table: jnp.ndarray, e: jnp.ndarray, nbits: int) -> jnp.ndarray:

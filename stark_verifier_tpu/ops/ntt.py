@@ -39,12 +39,16 @@ def _twiddle_stages(root: int, n: int, modulus: int) -> tuple:
     """
     logn = n.bit_length() - 1
     assert 1 << logn == n, "n must be a power of two"
-    # all powers root^0 .. root^(n/2 - 1), computed once incrementally
-    pows = np.zeros((max(n // 2, 1), fp.NLIMBS), dtype=np.uint32)
+    # all powers root^0 .. root^(n/2 - 1); the int chain is cheap, the limb
+    # conversion goes through the bulk to_bytes path (2^20-size configs would
+    # otherwise spend minutes in per-entry Python loops)
+    m = max(n // 2, 1)
+    vals = [1] * m
     cur = 1
-    for i in range(max(n // 2, 1)):
-        pows[i] = fp.int_to_limbs(cur)
+    for i in range(1, m):
         cur = cur * root % modulus
+        vals[i] = cur
+    pows = fp.ints_to_limbs_fast(vals)
     stages = []
     for s in range(logn):
         stride = n >> (s + 1)

@@ -66,6 +66,48 @@ def interp4(xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.ndarray:
     return F._sum_mod(jnp.moveaxis(terms, -3, -2), axis=-2)  # sum over i -> [..., 4(j), 16]
 
 
+def eval4_inv_free(nodes: jnp.ndarray, x1cb_inv: jnp.ndarray,
+                   winv: jnp.ndarray, ys: jnp.ndarray,
+                   sx: jnp.ndarray) -> jnp.ndarray:
+    """Inversion-FREE barycentric quartic evaluation for FRI's structured
+    nodes x_i = q_i * x1.
+
+    The only true denominator in the barycentric form is x1^3 (the shared
+    factor of the weights w_i = x1^3 * wconst_i): since x1 is a known power
+    of G2, its inverse cube is a GATHER from the same power table the nodes
+    come from -- so the caller passes x1cb_inv = G2^(-3y) and winv[4, 16] =
+    host-precomputed inverses of the wconst_i, and no field inversion (and
+    hence no Fermat chain) remains in the FRI check at all:
+
+        P(sx) = [ sum_i (y_i * winv_i) * prod_{j != i} (sx - x_j) ] / x1^3
+
+    nodes: [..., G, 4, 16] canonical; x1cb_inv: [..., G, 16]; winv: [4, 16];
+    ys: [..., G, 4, 16] raw rows; sx: [..., 16] (raw ok).  Returns
+    [..., G, 16] canonical -- bit-identical to the reference's
+    multi_interp_4 + eval_quartic value (src/utils.rs:196-244, 103-120).
+    """
+    sx_b = F.canon(sx)[..., None, None, :]
+    d = F.sub_mod(jnp.broadcast_to(sx_b, nodes.shape), nodes)  # [..., G, 4, 16]
+    d01 = F.mul_mod(d[..., 0, :], d[..., 1, :])
+    d23 = F.mul_mod(d[..., 2, :], d[..., 3, :])
+    others = jnp.stack([
+        F.mul_mod(d[..., 1, :], d23), F.mul_mod(d[..., 0, :], d23),
+        F.mul_mod(d01, d[..., 3, :]), F.mul_mod(d01, d[..., 2, :]),
+    ], axis=-2)                                          # prod_{j != i} d_j
+    yw = F.mul_mod(ys, winv)                             # [..., G, 4, 16]
+    terms = F.mul_mod(yw, others)
+    ssum = F.add_mod(F.add_mod(terms[..., 0, :], terms[..., 1, :]),
+                     F.add_mod(terms[..., 2, :], terms[..., 3, :]))
+    lhs = F.mul_mod(ssum, x1cb_inv)
+
+    # sx coinciding with a node: the interpolant's value is that node's y
+    hit = jnp.all(d == 0, axis=-1)                       # [..., G, 4]
+    any_hit = jnp.any(hit, axis=-1)
+    y_can = F.canon(ys)
+    y_hit = jnp.sum(jnp.where(hit[..., None], y_can, 0), axis=-2).astype(jnp.uint32)
+    return jnp.where(any_hit[..., None], y_hit, lhs)
+
+
 def eval_interp4_nodes(nodes: jnp.ndarray, x1cb: jnp.ndarray,
                        wconsts: jnp.ndarray, ys: jnp.ndarray,
                        sx: jnp.ndarray) -> jnp.ndarray:

@@ -19,6 +19,7 @@ def _group_tree(g: BranchGroup) -> dict:
         "value": np.asarray(g.value_words),
         "sibling": np.asarray(g.sibling_words),
         "witness": np.asarray(g.witness_words),
+        "depth": np.asarray(g.depths),      # per-branch (ragged ok)
     }
 
 
@@ -37,8 +38,21 @@ def proof_tree(p: ProofArrays) -> dict:
 
     FRI levels are stacked along a leading level axis with witness arrays
     padded to the deepest level, so the verifier's level walk is a single
-    lax.scan body instead of an unrolled per-level graph."""
+    lax.scan body instead of an unrolled per-level graph.  Witness depths may
+    be ragged per branch (traced through to the masked Merkle walk); value
+    sizes must be uniform per group -- the statement family's constraint
+    algebra slices fixed trace-column layouts, and the reference's behavior
+    on wrong-size values is a panic (= reject), which mapping ragged-value
+    proofs to a parse reject reproduces (merkle-layer raggedness itself is
+    fully supported, see ops/merkle.py + wire.BranchGroup)."""
     lv = p.fri_levels
+    for g in ([l.column for l in lv] + [l.poly for l in lv]
+              + [p.main, p.lincomb]):
+        if len(set(g.vsizes.tolist())) != 1:
+            from .wire import WireFormatError
+            raise WireFormatError(
+                "ragged value sizes do not fit the statement family's "
+                "fixed trace layout")
     col_dmax = max(l.column.depth for l in lv)
     poly_dmax = max(l.poly.depth for l in lv)
     fri = {
@@ -47,12 +61,12 @@ def proof_tree(p: ProofArrays) -> dict:
         "col_sibling": np.stack([np.asarray(l.column.sibling_words) for l in lv]),
         "col_witness": np.stack([_pad_witness(np.asarray(l.column.witness_words),
                                               col_dmax) for l in lv]),
-        "col_depth": np.array([l.column.depth for l in lv], dtype=np.uint32),
+        "col_depth": np.stack([np.asarray(l.column.depths) for l in lv]),
         "poly_value": np.stack([np.asarray(l.poly.value_words) for l in lv]),
         "poly_sibling": np.stack([np.asarray(l.poly.sibling_words) for l in lv]),
         "poly_witness": np.stack([_pad_witness(np.asarray(l.poly.witness_words),
                                                poly_dmax) for l in lv]),
-        "poly_depth": np.array([l.poly.depth for l in lv], dtype=np.uint32),
+        "poly_depth": np.stack([np.asarray(l.poly.depths) for l in lv]),
     }
     return {
         "merkle_root": np.asarray(p.merkle_root_words),

@@ -27,26 +27,24 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .. import fp
+from .. import debug, fp
 from ..config import StarkConfig, StatementTables
 from ..ops import blake2s, field as F, merkle, mimc as mimc_ops, ntt, prg, quartic
 
 
-def _verify_group(root_words, indices, group, depth):
+def _verify_group(root_words, indices, group):
     ok, _ = merkle.verify_branches(
         root_words, indices, group["value"], group["sibling"],
-        group["witness"], depth)
+        group["witness"], group["depth"])
     return jnp.all(ok, axis=-1)
 
 
-def _fri_pre(l_root_words, fri, tables: StatementTables, cfg: StarkConfig):
-    """FRI low-degree check up to (but excluding) the batch inversion, so the
-    caller can fold the inversion into one shared Fermat chain.
+def _fri_checks(l_root_words, fri, tables: StatementTables, cfg: StarkConfig):
+    """Complete FRI low-degree check, inversion-free.
 
-    Returns (ok_merkle [..., L], interp_pre, col_vals_raw, root2).
+    Returns (ok [...] bool over all levels, root2 [..., L, 8]).
     """
     q = cfg.fri_queries
-    quartic_rous = jnp.asarray(tables.quartic_rous)        # [4, 16] (stale)
 
     # Level-PARALLEL walk: nothing is sequential across FRI levels -- each
     # level's seed is its own root2 from the proof and its special_x is the
@@ -65,23 +63,25 @@ def _fri_pre(l_root_words, fri, tables: StatementTables, cfg: StarkConfig):
     mod_b = moduli[:, None]                                # [L, 1]
     ys = prg.pseudorandom_indices(root2, q, mod_b,
                                   cfg.extension_factor)    # [..., L, q]
+    debug.check_bounds(ys, cfg.precision // 4 + 1, "fri column indices")
 
     # column branches verify against the proof's own embedded root2
     # (merkle_tree.rs:30-33 trust quirk, SURVEY 2.2.10)
     ok_col, _ = merkle.verify_branches(
         root2, ys, fri["col_value"], fri["col_sibling"], fri["col_witness"],
-        fri["col_depth"][..., :, None])
+        fri["col_depth"])
     i4 = jnp.arange(4, dtype=jnp.uint32)
     poly_pos = (ys[..., None] + mod_b[..., None] * i4).reshape(
         *ys.shape[:-1], q * 4)
     ok_poly, _ = merkle.verify_branches(
         prev, poly_pos, fri["poly_value"], fri["poly_sibling"],
-        fri["poly_witness"], fri["poly_depth"][..., :, None])
+        fri["poly_witness"], fri["poly_depth"])
 
     # x-coords are quartic_rou[j] * rou_level^y with rou_level = G2^(4^l)
     # (stale quartic roots, main.rs:73-80): every node is a known power of G2,
-    # so nodes and x1^3 come from the master power table by gather instead of
-    # square-and-multiply chains (docs/PERF.md)
+    # so nodes AND the row evaluation's only true denominator x1^-3 come from
+    # the master power table by gather -- no square-and-multiply, no inversion
+    # (docs/PERF.md)
     g2t = jnp.asarray(tables.g2_powers)                    # [precision, 16]
     mask = jnp.uint32(cfg.precision - 1)
     lvl_mult = jnp.asarray(
@@ -90,39 +90,59 @@ def _fri_pre(l_root_words, fri, tables: StatementTables, cfg: StarkConfig):
     e1 = (ys * lvl_mult) & mask                            # [..., L, q]
     offs = jnp.arange(4, dtype=jnp.uint32) * jnp.uint32(cfg.precision // 4)
     nodes = jnp.take(g2t, (e1[..., None] + offs) & mask, axis=0)  # [...,L,q,4,16]
-    x1cb = jnp.take(g2t, (jnp.uint32(3) * e1) & mask, axis=0)     # [...,L,q,16]
+    x1cb_inv = jnp.take(g2t, (jnp.uint32(0) - jnp.uint32(3) * e1) & mask,
+                        axis=0)                            # [..., L, q, 16]
 
     rows = F.words_be_to_limbs(fri["poly_value"])          # [..., L, 4q, 16]
     rows = rows.reshape(*rows.shape[:-2], q, 4, fp.NLIMBS)
 
-    pre = quartic.interp4_nodes_pre(
-        nodes, x1cb, jnp.asarray(tables.quartic_wconsts), rows, special_x)
-    ok_merkle = jnp.logical_and(jnp.all(ok_col, axis=-1),
-                                jnp.all(ok_poly, axis=-1))   # [..., L]
-    col_vals_raw = F.words_be_to_limbs(fri["col_value"])
-    return ok_merkle, pre, col_vals_raw, root2
-
-
-def _fri_finish(ok_merkle, pre, col_vals_raw, root2, inv_total,
-                cfg: StarkConfig, points_words=None):
-    """Complete the FRI check given the inverted group products."""
     # canonical interpolated value compared to the RAW column value
     # (main.rs:84-86): a non-canonical committed value can never equal a
     # canonical lhs, exactly like the reference's unreduced BigInt equality
-    lhs = quartic.interp4_nodes_finish(pre, inv_total)     # [..., L, q, 16]
+    lhs = quartic.eval4_inv_free(
+        nodes, x1cb_inv, jnp.asarray(tables.quartic_winv), rows, special_x)
+    col_vals_raw = F.words_be_to_limbs(fri["col_value"])
     ok_val = jnp.all(jnp.all(lhs == col_vals_raw, axis=-1), axis=-1)
+    ok_merkle = jnp.logical_and(jnp.all(ok_col, axis=-1),
+                                jnp.all(ok_poly, axis=-1))   # [..., L]
     ok = jnp.all(jnp.logical_and(ok_merkle, ok_val), axis=-1)
+    return ok, root2
 
-    if cfg.strict and points_words is not None:
-        last_root = root2[..., -1, :]
-        # strict mode closes the reference's open TODO (main.rs:94): bind the
-        # parsed POINTS element to the final committed column root.  (A direct
-        # low-degree test of the final layer would reject even the bundled
-        # honest proof -- its last column interpolates to full degree 63 over
-        # the 64-point domain -- so root binding is the meaningful check.)
-        proot = merkle.merkle_root_permuted(points_words)
-        ok = jnp.logical_and(ok, jnp.all(proot == last_root, axis=-1))
-    return ok
+
+def points_root_binding(points_words, last_root):
+    """Bind the parsed POINTS element to the final committed column root
+    (half of the reference's open TODO at main.rs:94)."""
+    proot = merkle.merkle_root_permuted(points_words)
+    return jnp.all(proot == last_root, axis=-1)
+
+
+def points_direct_check(points_words, tables: StatementTables,
+                        cfg: StarkConfig):
+    """Direct low-degree test of the final FRI layer -- the other half of the
+    reference's TODO (main.rs:94; POINTS parsed then discarded,
+    deserializer.rs:47-59).
+
+    Replicates upstream mimc_stark's verify_low_degree_proof tail check:
+    interpolate the degree-(D-1) polynomial through the values at the first
+    D = max_deg_plus_1 domain positions NOT divisible by extension_factor,
+    then require every remaining such position to evaluate consistently.
+    The interpolation nodes are host constants, so the whole check is one
+    [held_out, D] evaluation-matrix product (see StatementTables).
+
+    points_words: [..., final_domain, 8] word rows.  Returns [...] bool.
+    """
+    deg = cfg.fri_final_maxdeg_plus_1
+    pts = tables.points_pts
+    data = F.words_be_to_limbs(points_words)               # [..., nd, 16]
+    used = jnp.take(data, jnp.asarray(pts[:deg]), axis=-2)  # [..., D, 16]
+    held = jnp.take(data, jnp.asarray(pts[deg:]), axis=-2)  # [..., H, 16]
+    m = jnp.asarray(tables.points_eval_matrix)             # [H, D, 16]
+    terms = F.mul_mod(m, used[..., None, :, :])            # [..., H, D, 16]
+    pred = F._sum_mod(terms, axis=-2)                      # [..., H, 16]
+    # canonical evaluation vs the RAW held-out value, like every other
+    # committed-value comparison (a non-canonical byte encoding never equals
+    # the canonical evaluation)
+    return jnp.all(jnp.all(pred == held, axis=-1), axis=-1)
 
 
 def verify_low_degree_proof(l_root_words, fri, tables: StatementTables,
@@ -130,33 +150,39 @@ def verify_low_degree_proof(l_root_words, fri, tables: StatementTables,
     """Standalone FRI low-degree check (reference: src/main.rs:31-97).
 
     fri: the stacked level arrays from proofio.device.proof_tree.  All levels
-    verify in parallel (see _fri_pre).  Returns [...] bool.  The final direct
-    check of the POINTS element is (faithfully) skipped in parity mode --
-    main.rs:94 TODO; strict mode binds points to the last root.
+    verify in parallel (see _fri_checks).  Returns [...] bool.  The final
+    direct check of the POINTS element is (faithfully) skipped in parity
+    mode -- main.rs:94 TODO; strict mode closes the TODO completely: it binds
+    POINTS to the last committed root AND runs the real low-degree test.
     """
-    ok_merkle, pre, col_vals_raw, root2 = _fri_pre(l_root_words, fri,
-                                                   tables, cfg)
-    inv_total = F.batch_inv(pre["total"].reshape(
-        *pre["total"].shape[:-3], -1, fp.NLIMBS)).reshape(pre["total"].shape)
-    return _fri_finish(ok_merkle, pre, col_vals_raw, root2, inv_total,
-                       cfg, points_words)
+    ok, root2 = _fri_checks(l_root_words, fri, tables, cfg)
+    if cfg.strict and points_words is not None:
+        ok = jnp.logical_and(
+            ok, points_root_binding(points_words, root2[..., -1, :]))
+        ok = jnp.logical_and(ok, points_direct_check(points_words, tables, cfg))
+    return ok
 
 
-def verify_mimc_proof(tree, inp: int, output_limbs, tables: StatementTables,
-                      cfg: StarkConfig):
-    """Full proof check; mirrors verify_mimc_proof (main.rs:99-197).
+def verify_mimc_proof(tree, inp, output_limbs, tables: StatementTables,
+                      cfg: StarkConfig, constants_limbs=None):
+    """Full proof check; mirrors verify_mimc_proof (main.rs:99-197 and the
+    cdylib boundary lib.rs:99).
 
     tree: proof pytree ([..., ...] leading batch dims); output_limbs [..., 16]
-    the claimed MiMC output.  Returns [...] bool verdicts.
+    the claimed MiMC output.  inp: a host int (fast path: the boundary
+    interpolant folds to host constants) or [..., 16] device limbs.
+    constants_limbs: optional [k, 16] RUNTIME round constants -- when given,
+    the constants mini-polynomial is recovered with a device iNTT
+    (main.rs:125) and K(x) evaluated by Horner scan, instead of the
+    statement-static K table.  The modulus stays compile-time (the limb
+    reduction is specialized to p).  Returns [...] bool verdicts.
     """
     m = cfg.modulus
     checks = []
 
-    # FRI low-degree proof over the linear-combination tree (main.rs:127);
-    # its batch inversion is deferred and merged with the spot-check Z(x)
-    # denominators into one Fermat chain below
-    fri_ok_merkle, fri_pre, fri_col_vals, fri_root2 = _fri_pre(
-        tree["l_merkle_root"], tree["fri"], tables, cfg)
+    # FRI low-degree proof over the linear-combination tree (main.rs:127)
+    checks.append(verify_low_degree_proof(
+        tree["l_merkle_root"], tree["fri"], tables, cfg, tree.get("points")))
 
     # k1..k4 = Blake2s(merkle_root || i), raw 256-bit BE ints (main.rs:131-146)
     mroot = tree["merkle_root"]
@@ -167,16 +193,15 @@ def verify_mimc_proof(tree, inp: int, output_limbs, tables: StatementTables,
     positions = prg.pseudorandom_indices(
         tree["l_merkle_root"], cfg.spot_checks, cfg.precision,
         cfg.extension_factor)                                   # [..., 80]
+    debug.check_bounds(positions, cfg.precision, "spot-check positions")
     aug = jnp.stack(
         [positions, (positions + jnp.uint32(cfg.skips)) % jnp.uint32(cfg.precision)],
         axis=-1)
     augmented = aug.reshape(*aug.shape[:-2], cfg.spot_checks * 2)  # interleaved
 
-    main_depth = tree["main"]["witness"].shape[-2]
-    lin_depth = tree["lincomb"]["witness"].shape[-2]
-    checks.append(_verify_group(mroot, augmented, tree["main"], main_depth))
+    checks.append(_verify_group(mroot, augmented, tree["main"]))
     checks.append(_verify_group(tree["l_merkle_root"], positions,
-                                tree["lincomb"], lin_depth))
+                                tree["lincomb"]))
 
     # trace values: 96-byte leaves = P(x) || D(x) || B(x)  (main.rs:163-174)
     mv = tree["main"]["value"]                                  # [..., 160, 24]
@@ -195,32 +220,25 @@ def verify_mimc_proof(tree, inp: int, output_limbs, tables: StatementTables,
     x_to_steps = jnp.take(
         g2t, (positions << jnp.uint32(cfg.log_steps)) & mask, axis=0)
 
-    # Z(x) = (x^steps - 1) / (x - last_step_position)  (main.rs:175-176);
-    # ONE merged batch inversion covers the FRI group products and these
-    # denominators (a single Fermat chain for the whole proof)
-    last = F.const(tables.last_step_position)
-    denom = F.sub_mod(x, last)
-    tot = fri_pre["total"]                                 # [..., L, q, 16]
-    lq = tot.shape[-3] * tot.shape[-2]
-    lead = tot.shape[:-3]
-    dens = jnp.concatenate(
-        [tot.reshape(lead + (lq, fp.NLIMBS)), denom], axis=-2)
-    inv_all = F.batch_inv(dens)
-    inv_total = inv_all[..., :lq, :].reshape(tot.shape)
-    denom_inv = inv_all[..., lq:, :]
-    checks.append(_fri_finish(fri_ok_merkle, fri_pre, fri_col_vals,
-                              fri_root2, inv_total, cfg, tree.get("points")))
-    one = F.const(1)
-    z = F.mul_mod(F.sub_mod(x_to_steps, jnp.broadcast_to(one, x_to_steps.shape)),
-                  denom_inv)
+    # Z(x) = (x^steps - 1) / (x - last_step_position)  (main.rs:175-176):
+    # Z takes one value per domain position, so the division is a host-
+    # precomputed table gather -- no inversion anywhere in the graph
+    z = jnp.take(jnp.asarray(tables.z_table), positions, axis=0)
 
     # K(x) = minipoly(x^skips2) takes only precision/gcd(precision, skips2)
-    # distinct values -- table lookup by pos mod period (main.rs:177-178)
-    k_of_x = jnp.take(jnp.asarray(tables.k_table),
-                      positions & jnp.uint32(tables.k_period - 1), axis=0)
+    # distinct values -- table lookup by pos mod period (main.rs:177-178);
+    # with runtime constants the minipoly comes from a device iNTT instead
+    if constants_limbs is None:
+        k_of_x = jnp.take(jnp.asarray(tables.k_table),
+                          positions & jnp.uint32(tables.k_period - 1), axis=0)
+    else:
+        minipoly = ntt.intt(constants_limbs, tables.minipoly_root)  # [k, 16]
+        x_sk2 = jnp.take(
+            g2t, (positions * jnp.uint32(cfg.skips2)) & mask, axis=0)
+        k_of_x = F.eval_poly(minipoly, x_sk2)
 
     # transition: P(g1*x) - P(x)^3 - K(x) - Z(x)*D(x) == 0  (main.rs:179-182)
-    p_cubed = F.mul_mod(F.mul_mod_lazy(p_of_x, p_of_x), p_of_x)
+    p_cubed = F.mul_mod(F.sqr_mod(p_of_x), p_of_x)
     t = F.sub_mod(F.sub_mod(F.sub_mod(p_of_g1x, p_cubed), k_of_x),
                   F.mul_mod(z, d_of_x))
     checks.append(jnp.all(jnp.all(t == 0, axis=-1), axis=-1))
@@ -231,17 +249,25 @@ def verify_mimc_proof(tree, inp: int, output_limbs, tables: StatementTables,
     e0 = (1 - tables.last_step_position) % m
     e1 = (tables.last_step_position - 1) % m
     inv_e = pow(e0 * e1 % m, m - 2, m)
-    iy0 = inp % m * inv_e % m * e1 % m                 # host scalar
     iy1_mult = F.const(inv_e * e0 % m)
     iy1 = F.mul_mod(output_limbs, iy1_mult)            # [..., 16] device
-    i_c0 = F.add_mod(F.const((-tables.last_step_position * iy0) % m),
-                     F.mul_mod(F.const(m - 1), iy1))   # -last*iy0 - iy1
-    i_c1 = F.add_mod(F.const(iy0), iy1)
+    if isinstance(inp, int):
+        # statement-static input: iy0 and its -last*iy0 term fold to host
+        iy0 = inp % m * inv_e % m * e1 % m             # host scalar
+        i_c0 = F.add_mod(F.const((-tables.last_step_position * iy0) % m),
+                         F.mul_mod(F.const(m - 1), iy1))   # -last*iy0 - iy1
+        i_c1 = F.add_mod(F.const(iy0), iy1)
+    else:
+        # runtime input (cdylib boundary, lib.rs:99): same algebra on device
+        iy0 = F.mul_mod(inp, F.const(inv_e * e1 % m))  # [..., 16]
+        i_c0 = F.add_mod(
+            F.mul_mod(iy0, F.const((-tables.last_step_position) % m)),
+            F.mul_mod(F.const(m - 1), iy1))
+        i_c1 = F.add_mod(iy0, iy1)
     interp_at_x = F.add_mod(i_c0[..., None, :],
                             F.mul_mod(i_c1[..., None, :], x))
-    # Z2(x) = (x-1)(x-last) -- reuses the Z denominator (main.rs:185)
-    z2_at_x = F.mul_mod_lazy(F.sub_mod(x, jnp.broadcast_to(one, x.shape)),
-                             denom)
+    # Z2(x) = (x-1)(x-last) -- position-indexed host table (main.rs:185)
+    z2_at_x = jnp.take(jnp.asarray(tables.z2_table), positions, axis=0)
     bcheck = F.sub_mod(F.sub_mod(p_of_x, F.mul_mod(b_of_x, z2_at_x)),
                        interp_at_x)
     checks.append(jnp.all(jnp.all(bcheck == 0, axis=-1), axis=-1))
@@ -286,4 +312,33 @@ def make_verifier(cfg: StarkConfig | None = None, inp: int = 3):
         output = jnp.broadcast_to(jnp.asarray(out_limbs), lead + (fp.NLIMBS,))
         return verify_mimc_proof(tree, inp, output, tables, cfg)
 
-    return verify_fn, tables
+    return debug.checked(verify_fn), tables
+
+
+def make_general_verifier(cfg: StarkConfig | None = None):
+    """The cdylib-shaped entry point (reference: src/lib.rs:99): every
+    statement parameter except the modulus is a RUNTIME value.
+
+    Returns (verify_fn, tables) where
+        verify_fn(tree, inp_limbs, constants_limbs, output_limbs) -> bool[...]
+    with inp_limbs/output_limbs [..., 16] device values (broadcast over the
+    proof batch if unbatched) and constants_limbs [k, 16] runtime round
+    constants (k must match cfg.num_constants; it shapes the device iNTT).
+    The modulus stays compile-time: the limb arithmetic is specialized to
+    p = 2^256 - 351*2^32 + 1.
+    """
+    from ..config import cached_tables
+    cfg = cfg or StarkConfig()
+    tables = cached_tables(cfg)
+    if not cfg.sanity_ok():
+        raise ValueError("statement fails reference sanity checks")
+
+    @jax.jit
+    def verify_fn(tree, inp_limbs, constants_limbs, output_limbs):
+        lead = tree["merkle_root"].shape[:-1]
+        inp_b = jnp.broadcast_to(inp_limbs, lead + (fp.NLIMBS,))
+        out_b = jnp.broadcast_to(output_limbs, lead + (fp.NLIMBS,))
+        return verify_mimc_proof(tree, inp_b, out_b, tables, cfg,
+                                 constants_limbs=constants_limbs)
+
+    return debug.checked(verify_fn), tables

@@ -75,6 +75,32 @@ def test_ntt_spot_evaluation_65536():
         assert out[i] == acc, i
 
 
+def test_ntt_roundtrip_and_spot_eval_131072():
+    """2^17 config (BASELINE names 2^13-2^20): iNTT(NTT(v)) == v, and NTT
+    output spot-checked against exact Python evaluation.  The twiddle
+    precompute is the bulk to_bytes path -- table build must stay well under
+    a minute at this size."""
+    import time
+    n = 1 << 17
+    root = _root_of_order(n)
+    vals = [rng.randrange(P) for _ in range(n)]
+    t0 = time.perf_counter()
+    d = _to_dev(vals)
+    fwd = jax.jit(lambda v: ntt.ntt(v, root))(d)
+    build_and_run = time.perf_counter() - t0
+    assert build_and_run < 120, f"table build too slow: {build_and_run:.1f}s"
+    back = jax.jit(lambda v: ntt.intt(v, root))(fwd)
+    assert _to_ints(back) == vals
+    out = _to_ints(fwd)
+    for i in (0, 77777, n - 1):
+        x = pow(root, i, P)
+        acc, pw = 0, 1
+        for c in vals:
+            acc = (acc + c * pw) % P
+            pw = pw * x % P
+        assert out[i] == acc, i
+
+
 def test_ntt_batched():
     n = 256
     root = _root_of_order(n)

@@ -20,7 +20,27 @@ rng = random.Random(31337)
 
 
 def _eval_device(e1_list, ys_rows, sx_int):
-    """Run the gather-table + barycentric path exactly as the verifier does."""
+    """Run the gather-table + inversion-free barycentric path exactly as the
+    verifier does (quartic.eval4_inv_free with x1^-3 gathered)."""
+    from stark_verifier_tpu.ops import quartic
+    tables = cached_tables(StarkConfig())
+    g2t = jnp.asarray(tables.g2_powers)
+    e1 = jnp.asarray(np.array(e1_list, dtype=np.uint32))          # [G]
+    offs = jnp.arange(4, dtype=jnp.uint32) * jnp.uint32(16384)
+    nodes = jnp.take(g2t, (e1[:, None] + offs) & jnp.uint32(65535), axis=0)
+    x1cb_inv = jnp.take(
+        g2t, (jnp.uint32(0) - jnp.uint32(3) * e1) & jnp.uint32(65535), axis=0)
+    ys = jnp.asarray(np.stack([fp.ints_to_limbs(r) for r in ys_rows]))
+    sx = jnp.asarray(fp.int_to_limbs(sx_int % (1 << 256)))
+    f = jax.jit(lambda n, c, y, s: quartic.eval4_inv_free(
+        n, c, jnp.asarray(tables.quartic_winv), y, s))
+    out = f(nodes, x1cb_inv, ys, sx)
+    return [fp.limbs_to_int(r) for r in np.asarray(out)]
+
+
+def _eval_device_legacy(e1_list, ys_rows, sx_int):
+    """The coefficient-era barycentric path (kept as a second implementation
+    check: both must match the oracle)."""
     from stark_verifier_tpu.ops import quartic
     tables = cached_tables(StarkConfig())
     g2t = jnp.asarray(tables.g2_powers)
@@ -55,7 +75,9 @@ def test_barycentric_matches_coefficient_path():
     e1 = [rng.randrange(65536) for _ in range(G)]
     rows = [[rng.randrange(1 << 256) for _ in range(4)] for _ in range(G)]
     sx = rng.randrange(1 << 256)    # raw unreduced special_x, like the roots
-    assert _eval_device(e1, rows, sx) == _eval_oracle(e1, rows, sx)
+    want = _eval_oracle(e1, rows, sx)
+    assert _eval_device(e1, rows, sx) == want
+    assert _eval_device_legacy(e1, rows, sx) == want
 
 
 def test_barycentric_node_collision():
