@@ -39,3 +39,68 @@ def test_strict_rejects_tampered_points_parity_accepts(proof_bytes):
     strict_fn2, _ = V.make_verifier(StarkConfig(strict=True))
     assert bool(np.asarray(parity_fn(td)))      # reference ignores points
     assert not bool(np.asarray(strict_fn2(td)))
+
+
+# --- the real direct low-degree check (mimc_stark's final FRI step) --------
+
+def test_points_direct_check_accepts_golden(proof_bytes):
+    """The bundled proof's POINTS element IS low-degree on the non-multiple
+    positions (the round-1 'full degree 63' analysis was wrong: over all 64
+    positions the degree is 63, but mimc_stark's check only constrains
+    positions not divisible by the extension factor, where it is < 16)."""
+    from stark_verifier_tpu.config import cached_tables
+    cfg = StarkConfig(strict=True)
+    tables = cached_tables(cfg)
+    p = wire.parse_proof(proof_bytes)
+    ok = V.points_direct_check(jnp.asarray(p.points_words), tables, cfg)
+    assert bool(np.asarray(ok))
+
+
+def test_points_direct_check_catches_root_consistent_tamper(proof_bytes):
+    """Soundness gap closed by the direct check: tamper POINTS at a held-out
+    non-multiple position and recompute the binding root -- the old
+    root-binding-only strict mode would have ACCEPTED (binding is consistent
+    by construction); the direct low-degree check rejects."""
+    from stark_verifier_tpu.config import cached_tables
+    cfg = StarkConfig(strict=True)
+    tables = cached_tables(cfg)
+    p = wire.parse_proof(proof_bytes)
+    pts = tables.points_pts
+    deg = cfg.fri_final_maxdeg_plus_1
+    tampered = p.points_words.copy()
+    tampered[int(pts[deg + 3]), 0] ^= 2          # a held-out, non-multiple pos
+    tw = jnp.asarray(tampered)
+    # attacker recomputes the commitment over the tampered layer: binding
+    # alone is satisfied...
+    new_root = merkle.merkle_root_permuted(tw)
+    assert bool(np.asarray(V.points_root_binding(tw, new_root)))
+    # ...but the direct check still rejects
+    assert not bool(np.asarray(V.points_direct_check(tw, tables, cfg)))
+
+
+def test_points_direct_check_catches_used_position_tamper(proof_bytes):
+    """Tampering one of the D interpolation positions changes the interpolant
+    and breaks all held-out evaluations."""
+    from stark_verifier_tpu.config import cached_tables
+    cfg = StarkConfig(strict=True)
+    tables = cached_tables(cfg)
+    p = wire.parse_proof(proof_bytes)
+    pts = tables.points_pts
+    tampered = p.points_words.copy()
+    tampered[int(pts[0]), 3] ^= 1
+    ok = V.points_direct_check(jnp.asarray(tampered), tables, cfg)
+    assert not bool(np.asarray(ok))
+
+
+def test_points_direct_check_ignores_multiple_positions(proof_bytes):
+    """Positions divisible by the extension factor are unconstrained by
+    mimc_stark's check (exclude_multiples_of=8): tampering them must NOT
+    trip the direct check (only the root binding catches it)."""
+    from stark_verifier_tpu.config import cached_tables
+    cfg = StarkConfig(strict=True)
+    tables = cached_tables(cfg)
+    p = wire.parse_proof(proof_bytes)
+    tampered = p.points_words.copy()
+    tampered[8, 0] ^= 1                          # multiple of 8: excluded
+    assert bool(np.asarray(
+        V.points_direct_check(jnp.asarray(tampered), tables, cfg)))
