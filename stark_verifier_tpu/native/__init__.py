@@ -29,7 +29,6 @@ _ERRORS = {
     1: "truncated proof",
     2: "invalid proof element type",
     3: "bad size field",
-    4: "ragged branch group",
     5: "trailing bytes after proof",
     6: "too many FRI levels",
     7: "meta buffer too small",
@@ -93,45 +92,56 @@ def parse_proof_native(proof_bytes: bytes):
     mn, mvs, md, ln, lvs, ld = meta[2 + 6 * n_levels: 2 + 6 * n_levels + 6]
 
     u8 = np.uint8
+    u32 = np.uint32
     merkle_root = np.zeros(32, u8)
     l_merkle_root = np.zeros(32, u8)
     points = np.zeros(n_points * 32, u8)
     main_v = np.zeros(int(mn) * int(mvs), u8)
     main_s = np.zeros_like(main_v)
     main_w = np.zeros(int(mn) * int(md) * 32, u8)
+    main_vs = np.zeros(int(mn), u32)
+    main_d = np.zeros(int(mn), u32)
     lin_v = np.zeros(int(ln) * int(lvs), u8)
     lin_s = np.zeros_like(lin_v)
     lin_w = np.zeros(int(ln) * int(ld) * 32, u8)
+    lin_vs = np.zeros(int(ln), u32)
+    lin_d = np.zeros(int(ln), u32)
 
     root2 = [np.zeros(32, u8) for _ in range(n_levels)]
-    col_v, col_s, col_w, pol_v, pol_s, pol_w = [], [], [], [], [], []
+    col_v, col_s, col_w, col_vs, col_d = [], [], [], [], []
+    pol_v, pol_s, pol_w, pol_vs, pol_d = [], [], [], [], []
     for i in range(n_levels):
         cn, cvs, cd, pn, pvs, pd = (int(x) for x in lv_meta[i])
         col_v.append(np.zeros(cn * cvs, u8))
         col_s.append(np.zeros(cn * cvs, u8))
         col_w.append(np.zeros(cn * cd * 32, u8))
+        col_vs.append(np.zeros(cn, u32))
+        col_d.append(np.zeros(cn, u32))
         pol_v.append(np.zeros(pn * pvs, u8))
         pol_s.append(np.zeros(pn * pvs, u8))
         pol_w.append(np.zeros(pn * pd * 32, u8))
+        pol_vs.append(np.zeros(pn, u32))
+        pol_d.append(np.zeros(pn, u32))
 
     def ptr_array(arrs):
-        t = ctypes.c_void_p * len(arrs)
+        t = ctypes.c_void_p * max(len(arrs), 1)
         return t(*[a.ctypes.data for a in arrs])
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
 
     rc = lib.svt_fill(
         proof_bytes, len(proof_bytes),
-        merkle_root.ctypes.data_as(ctypes.c_void_p),
-        l_merkle_root.ctypes.data_as(ctypes.c_void_p),
+        vp(merkle_root), vp(l_merkle_root),
         ptr_array(root2),
         ptr_array(col_v), ptr_array(col_s), ptr_array(col_w),
+        ptr_array(col_vs), ptr_array(col_d),
         ptr_array(pol_v), ptr_array(pol_s), ptr_array(pol_w),
-        points.ctypes.data_as(ctypes.c_void_p),
-        main_v.ctypes.data_as(ctypes.c_void_p),
-        main_s.ctypes.data_as(ctypes.c_void_p),
-        main_w.ctypes.data_as(ctypes.c_void_p),
-        lin_v.ctypes.data_as(ctypes.c_void_p),
-        lin_s.ctypes.data_as(ctypes.c_void_p),
-        lin_w.ctypes.data_as(ctypes.c_void_p),
+        ptr_array(pol_vs), ptr_array(pol_d),
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vp(points),
+        vp(main_v), vp(main_s), vp(main_w), vp(main_vs), vp(main_d),
+        vp(lin_v), vp(lin_s), vp(lin_w), vp(lin_vs), vp(lin_d),
     )
     if rc:
         raise wire.WireFormatError(_ERRORS.get(rc, f"error {rc}"))
@@ -139,11 +149,13 @@ def parse_proof_native(proof_bytes: bytes):
     def words(a, shape):
         return a.view("<u4").astype(np.uint32).reshape(shape)
 
-    def group(v, s, w, n, vs, d):
+    def group(v, s, w, n, vs, d, vsizes, depths):
         return wire.BranchGroup(
             value_words=words(v, (n, vs // 4)),
             sibling_words=words(s, (n, vs // 4)),
             witness_words=words(w, (n, d, 8)),
+            vsizes=vsizes,
+            depths=depths,
         )
 
     levels = []
@@ -151,8 +163,10 @@ def parse_proof_native(proof_bytes: bytes):
         cn, cvs, cd, pn, pvs, pd = (int(x) for x in lv_meta[i])
         levels.append(wire.FriLevel(
             root2_words=words(root2[i], (8,)),
-            column=group(col_v[i], col_s[i], col_w[i], cn, cvs, cd),
-            poly=group(pol_v[i], pol_s[i], pol_w[i], pn, pvs, pd),
+            column=group(col_v[i], col_s[i], col_w[i], cn, cvs, cd,
+                         col_vs[i], col_d[i]),
+            poly=group(pol_v[i], pol_s[i], pol_w[i], pn, pvs, pd,
+                       pol_vs[i], pol_d[i]),
         ))
 
     return wire.ProofArrays(
@@ -160,6 +174,8 @@ def parse_proof_native(proof_bytes: bytes):
         l_merkle_root_words=words(l_merkle_root, (8,)),
         fri_levels=levels,
         points_words=words(points, (n_points, 8)),
-        main=group(main_v, main_s, main_w, int(mn), int(mvs), int(md)),
-        lincomb=group(lin_v, lin_s, lin_w, int(ln), int(lvs), int(ld)),
+        main=group(main_v, main_s, main_w, int(mn), int(mvs), int(md),
+                   main_vs, main_d),
+        lincomb=group(lin_v, lin_s, lin_w, int(ln), int(lvs), int(ld),
+                      lin_vs, lin_d),
     )

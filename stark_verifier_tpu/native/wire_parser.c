@@ -9,12 +9,14 @@
  *                                caller-allocated struct-of-arrays buffers
  *
  * The Python side (native/__init__.py) drives both via ctypes: scan sizes the
- * numpy arrays, fill populates them.  Branch groups must be rectangular
- * (uniform value size + witness depth within a MultiProof), matching the
- * fixed-shape device layout; ragged input returns an error code.
+ * numpy arrays, fill populates them.  Branch groups may be RAGGED (per-branch
+ * value size and witness depth, like the reference reads at
+ * deserializer.rs:104-119): scan reports the group maxima, fill zero-pads
+ * each branch into the max-strided buffers and records per-branch sizes.
  *
- * Error codes: 0 ok; 1 truncated; 2 bad tag; 3 bad size field; 4 ragged
- * group; 5 trailing bytes; 6 too many levels; 7 meta buffer too small.
+ * Error codes: 0 ok; 1 truncated; 2 bad tag; 3 bad size field; 5 trailing
+ * bytes; 6 too many levels; 7 meta buffer too small.  (code 4 "ragged" is
+ * retired -- ragged groups parse.)
  */
 
 #include <stdint.h>
@@ -43,40 +45,46 @@ static int rd_u32(rdr *r, uint32_t *out) {
     return 0;
 }
 
-/* Walk one MultiProof; record n/vsize/depth; optionally copy data.
- * values/siblings: n*vsize bytes each; witnesses: n*depth*32 bytes. */
-static int walk_group(rdr *r, uint32_t *n_out, uint32_t *vsize_out,
-                      uint32_t *depth_out,
-                      uint8_t *values, uint8_t *siblings, uint8_t *wits) {
-    uint32_t n, vsize0 = 0, depth0 = 0;
+/* Walk one MultiProof.  Scan pass (values == NULL): report n and group
+ * maxima.  Fill pass: copy data padded to the vmax/dmax strides, recording
+ * per-branch vsizes/depths. */
+static int walk_group(rdr *r, uint32_t *n_out, uint32_t *vmax_out,
+                      uint32_t *dmax_out,
+                      uint8_t *values, uint8_t *siblings, uint8_t *wits,
+                      uint32_t vmax, uint32_t dmax,
+                      uint32_t *vsizes, uint32_t *depths) {
+    uint32_t n, vm = 0, dm = 0;
     if (rd_u32(r, &n)) return 1;
     if (n == 0 || n > (1u << 20)) return 3;
     for (uint32_t i = 0; i < n; i++) {
         uint32_t vsize, wsize;
         const uint8_t *v, *s, *w;
         if (rd_u32(r, &vsize)) return 1;
-        if (vsize == 0 || vsize % 32) return 3;
-        if (i == 0) vsize0 = vsize;
-        else if (vsize != vsize0) return 4;
+        if (vsize == 0 || vsize % 32 || vsize > (1u << 16)) return 3;
+        if (vsize > vm) vm = vsize;
         if (rd_bytes(r, vsize, &v)) return 1;
         if (rd_bytes(r, vsize, &s)) return 1;
         if (rd_u32(r, &wsize)) return 1;
         if (wsize % 32) return 3;
         uint32_t depth = wsize / 32;
-        if (i == 0) depth0 = depth;
-        else if (depth != depth0) return 4;
+        if (depth > 64) return 3;
+        if (depth > dm) dm = depth;
         if (rd_bytes(r, wsize, &w)) return 1;
-        if (values)   memcpy(values + (size_t)i * vsize0, v, vsize0);
-        if (siblings) memcpy(siblings + (size_t)i * vsize0, s, vsize0);
-        if (wits)     memcpy(wits + (size_t)i * depth0 * 32, w, (size_t)depth0 * 32);
+        if (values) {
+            memcpy(values + (size_t)i * vmax, v, vsize);
+            memcpy(siblings + (size_t)i * vmax, s, vsize);
+            memcpy(wits + (size_t)i * dmax * 32, w, (size_t)depth * 32);
+            vsizes[i] = vsize;
+            depths[i] = depth;
+        }
     }
-    *n_out = n; *vsize_out = vsize0; *depth_out = depth0;
+    *n_out = n; *vmax_out = vm; *dmax_out = dm;
     return 0;
 }
 
 /* meta layout (int64): [0]=n_levels, [1]=n_points,
- * then per level: col_n, col_vsize, col_depth, poly_n, poly_vsize, poly_depth
- * then: main_n, main_vsize, main_depth, lin_n, lin_vsize, lin_depth
+ * then per level: col_n, col_vmax, col_dmax, poly_n, poly_vmax, poly_dmax
+ * then: main_n, main_vmax, main_dmax, lin_n, lin_vmax, lin_dmax
  * meta_cap = capacity in int64 entries. */
 int svt_scan(const uint8_t *buf, size_t len, int64_t *meta, size_t meta_cap) {
     rdr r = {buf, 0, len};
@@ -94,7 +102,7 @@ int svt_scan(const uint8_t *buf, size_t len, int64_t *meta, size_t meta_cap) {
             if (mi + 6 > meta_cap) return 7;
             if (rd_bytes(&r, 32, &tmp)) return 1;   /* root2 */
             for (int k = 0; k < 2; k++) {
-                int rc = walk_group(&r, &g[0], &g[1], &g[2], 0, 0, 0);
+                int rc = walk_group(&r, &g[0], &g[1], &g[2], 0, 0, 0, 0, 0, 0, 0);
                 if (rc) return rc;
                 meta[mi++] = g[0]; meta[mi++] = g[1]; meta[mi++] = g[2];
             }
@@ -112,7 +120,7 @@ int svt_scan(const uint8_t *buf, size_t len, int64_t *meta, size_t meta_cap) {
     }
     if (mi + 6 > meta_cap) return 7;
     for (int k = 0; k < 2; k++) {
-        int rc = walk_group(&r, &g[0], &g[1], &g[2], 0, 0, 0);
+        int rc = walk_group(&r, &g[0], &g[1], &g[2], 0, 0, 0, 0, 0, 0, 0);
         if (rc) return rc;
         meta[mi++] = g[0]; meta[mi++] = g[1]; meta[mi++] = g[2];
     }
@@ -123,16 +131,21 @@ int svt_scan(const uint8_t *buf, size_t len, int64_t *meta, size_t meta_cap) {
 }
 
 /* Fill pass.  Caller passes per-level buffer pointer tables (arrays of
- * pointers, one per level) plus flat buffers for roots/points/main/lincomb.
- * All buffers sized from svt_scan's meta. */
+ * pointers, one per level) plus flat buffers for roots/points/main/lincomb,
+ * the group strides from svt_scan's meta, and per-branch size buffers. */
 int svt_fill(const uint8_t *buf, size_t len,
              uint8_t *merkle_root, uint8_t *l_merkle_root,
              uint8_t **root2, /* [n_levels][32] */
              uint8_t **col_values, uint8_t **col_siblings, uint8_t **col_wits,
+             uint32_t **col_vsizes, uint32_t **col_depths,
              uint8_t **poly_values, uint8_t **poly_siblings, uint8_t **poly_wits,
+             uint32_t **poly_vsizes, uint32_t **poly_depths,
+             const int64_t *meta,
              uint8_t *points,
              uint8_t *main_values, uint8_t *main_siblings, uint8_t *main_wits,
-             uint8_t *lin_values, uint8_t *lin_siblings, uint8_t *lin_wits) {
+             uint32_t *main_vsizes, uint32_t *main_depths,
+             uint8_t *lin_values, uint8_t *lin_siblings, uint8_t *lin_wits,
+             uint32_t *lin_vsizes, uint32_t *lin_depths) {
     rdr r = {buf, 0, len};
     const uint8_t *tmp;
     uint32_t g[3];
@@ -148,11 +161,16 @@ int svt_fill(const uint8_t *buf, size_t len,
             if (lvl >= SVT_MAX_LEVELS) return 6;
             if (rd_bytes(&r, 32, &tmp)) return 1;
             memcpy(root2[lvl], tmp, 32);
+            const int64_t *lm = meta + 2 + 6 * lvl;
             int rc = walk_group(&r, &g[0], &g[1], &g[2],
-                                col_values[lvl], col_siblings[lvl], col_wits[lvl]);
+                                col_values[lvl], col_siblings[lvl], col_wits[lvl],
+                                (uint32_t)lm[1], (uint32_t)lm[2],
+                                col_vsizes[lvl], col_depths[lvl]);
             if (rc) return rc;
             rc = walk_group(&r, &g[0], &g[1], &g[2],
-                            poly_values[lvl], poly_siblings[lvl], poly_wits[lvl]);
+                            poly_values[lvl], poly_siblings[lvl], poly_wits[lvl],
+                            (uint32_t)lm[3 + 1], (uint32_t)lm[3 + 2],
+                            poly_vsizes[lvl], poly_depths[lvl]);
             if (rc) return rc;
             lvl++;
         } else if (tag == 2) {
@@ -165,11 +183,16 @@ int svt_fill(const uint8_t *buf, size_t len,
             return 2;
         }
     }
+    const int64_t *tm = meta + 2 + 6 * lvl;
     int rc = walk_group(&r, &g[0], &g[1], &g[2],
-                        main_values, main_siblings, main_wits);
+                        main_values, main_siblings, main_wits,
+                        (uint32_t)tm[1], (uint32_t)tm[2],
+                        main_vsizes, main_depths);
     if (rc) return rc;
     rc = walk_group(&r, &g[0], &g[1], &g[2],
-                    lin_values, lin_siblings, lin_wits);
+                    lin_values, lin_siblings, lin_wits,
+                    (uint32_t)tm[3 + 1], (uint32_t)tm[3 + 2],
+                    lin_vsizes, lin_depths);
     if (rc) return rc;
     if (r.off != len) return 5;
     return 0;

@@ -37,18 +37,25 @@ def verify_branches(root_words: jnp.ndarray,
                     value_words: jnp.ndarray,
                     sibling_words: jnp.ndarray,
                     witness_words: jnp.ndarray,
-                    depth):
+                    depth,
+                    vsizes=None,
+                    vsize_classes=None):
     """Verify a group of Merkle branches against a root.
 
     root_words:    [..., 8] uint32 (broadcast over the branch axis) -- the
                    expected root, or [..., n, 8] for per-branch roots.
     indices:       [..., n] uint32 leaf indices (pre-permutation).
     value_words:   [..., n, vw] uint32 (vw = 8 for 32-byte leaves, 24 for the
-                   96-byte main-trace leaves).
+                   96-byte main-trace leaves; ragged groups zero-padded).
     sibling_words: [..., n, vw] uint32.
     witness_words: [..., n, max_depth, 8] uint32 (zero-padded past `depth`).
     depth:         actual witness count -- python int, or a traced uint32
-                   scalar broadcastable against the branch axis.
+                   scalar/array broadcastable against the branch axis (the
+                   reference walks per-branch depth, merkle_tree.rs:119-163).
+    vsizes:        optional [..., n] per-branch value BYTES for ragged value
+                   sizes (deserializer.rs:104-119); requires vsize_classes,
+                   the static tuple of distinct sizes.  The leaf hash is
+                   computed per class and selected per lane.
 
     Returns (ok [..., n] bool, value_words passthrough) -- mirroring
     MultiProof::verify returning the leaf values (merkle_tree.rs:25-44).
@@ -66,7 +73,15 @@ def verify_branches(root_words: jnp.ndarray,
     odd = (tree_index & 1).astype(bool)[..., None]
     first_a = jnp.where(odd, sibling_words, value_words)
     first_b = jnp.where(odd, value_words, sibling_words)
-    res = blake2s.hash_leaf_pair(first_a, first_b)      # [..., n, 8]
+    if vsizes is None:
+        res = blake2s.hash_leaf_pair(first_a, first_b)  # [..., n, 8]
+    else:
+        res = None
+        for cls in vsize_classes:                       # static byte sizes
+            h = blake2s.hash_leaf_pair(first_a[..., :cls // 4],
+                                       first_b[..., :cls // 4])
+            sel = (jnp.asarray(vsizes) == jnp.uint32(cls))[..., None]
+            res = h if res is None else jnp.where(sel, h, res)
     tree_index = tree_index >> 1
 
     if max_depth > 0:

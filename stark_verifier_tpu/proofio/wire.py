@@ -38,16 +38,27 @@ class WireFormatError(ValueError):
 class BranchGroup:
     """One MultiProof as struct-of-arrays.
 
-    value_words/sibling_words: [n, vw] uint32 (LE words; vw = vsize/4)
-    witness_words: [n, depth, 8] uint32
+    value_words/sibling_words: [n, vw_max] uint32 (LE words; vw = vsize/4,
+    zero-padded past each branch's own size for ragged groups)
+    witness_words: [n, depth_max, 8] uint32 (zero-padded past each depth)
+    vsizes/depths: [n] per-branch value bytes / witness counts -- the
+    reference reads both per branch (deserializer.rs:104-119) and
+    ProofBranch::verify walks per-branch depth (merkle_tree.rs:119-163).
     """
     value_words: np.ndarray
     sibling_words: np.ndarray
     witness_words: np.ndarray
+    vsizes: np.ndarray
+    depths: np.ndarray
 
     @property
     def n(self) -> int:
         return self.value_words.shape[0]
+
+    @property
+    def rectangular(self) -> bool:
+        return (len(set(self.vsizes.tolist())) == 1
+                and len(set(self.depths.tolist())) == 1)
 
     @property
     def depth(self) -> int:
@@ -56,6 +67,11 @@ class BranchGroup:
     @property
     def value_bytes(self) -> int:
         return self.value_words.shape[1] * 4
+
+    @property
+    def vsize_classes(self) -> tuple:
+        """Distinct per-branch value sizes (bytes), ascending."""
+        return tuple(sorted(set(int(v) for v in self.vsizes)))
 
 
 @dataclass(frozen=True)
@@ -107,31 +123,42 @@ def _parse_multiproof(r: _Reader) -> BranchGroup:
     if n == 0 or n > 1 << 20:
         raise WireFormatError(f"implausible branch count {n}")
     values, siblings, witnesses = [], [], []
-    vsize0 = None
-    depth0 = None
-    for _ in range(n):
+    vsizes = np.zeros(n, dtype=np.uint32)
+    depths = np.zeros(n, dtype=np.uint32)
+    for i in range(n):
         vsize = r.u32()
         if vsize == 0 or vsize % 32:
             raise WireFormatError(f"bad value size {vsize}")
-        if vsize0 is None:
-            vsize0 = vsize
-        elif vsize != vsize0:
-            raise WireFormatError("ragged value sizes within a MultiProof")
+        if vsize > 1 << 16:
+            raise WireFormatError(f"implausible value size {vsize}")
+        vsizes[i] = vsize
         values.append(_bytes_to_words(r.take(vsize)))
         siblings.append(_bytes_to_words(r.take(vsize)))
         wsize = r.u32()
         if wsize % 32:
             raise WireFormatError("witness bytes not a multiple of 32")
         depth = wsize // 32
-        if depth0 is None:
-            depth0 = depth
-        elif depth != depth0:
-            raise WireFormatError("ragged witness depths within a MultiProof")
+        if depth > 64:
+            raise WireFormatError(f"implausible witness depth {depth}")
+        depths[i] = depth
         witnesses.append(_bytes_to_words(r.take(wsize)).reshape(depth, 8))
+    # ragged groups (per-branch vsize/depth, deserializer.rs:104-119) are
+    # zero-padded to the group maxima; per-branch sizes ride along
+    vw_max = max(v.shape[0] for v in values)
+    d_max = max(w.shape[0] for w in witnesses)
+    value_arr = np.zeros((n, vw_max), dtype=np.uint32)
+    sibling_arr = np.zeros((n, vw_max), dtype=np.uint32)
+    witness_arr = np.zeros((n, d_max, 8), dtype=np.uint32)
+    for i in range(n):
+        value_arr[i, :values[i].shape[0]] = values[i]
+        sibling_arr[i, :siblings[i].shape[0]] = siblings[i]
+        witness_arr[i, :witnesses[i].shape[0]] = witnesses[i]
     return BranchGroup(
-        value_words=np.stack(values),
-        sibling_words=np.stack(siblings),
-        witness_words=np.stack(witnesses),
+        value_words=value_arr,
+        sibling_words=sibling_arr,
+        witness_words=witness_arr,
+        vsizes=vsizes,
+        depths=depths,
     )
 
 

@@ -138,6 +138,26 @@ def permute_4_index(x: int, L: int) -> int:
     return (x // ld4) + 4 * (x % ld4)
 
 
+def branch_root(index: int, br: Branch) -> bytes:
+    """The root a branch walk terminates at (verify_branch without the
+    assert) -- used by tests to construct valid synthetic branches."""
+    w = len(br.witnesses)
+    idx = permute_4_index(index, 2 ** (w + 1))
+    tree_index = 2 ** (w + 2) + idx
+    if tree_index % 2 != 0:
+        res = blake2s(br.sibling_value + br.value)
+    else:
+        res = blake2s(br.value + br.sibling_value)
+    tree_index //= 2
+    for witness in br.witnesses:
+        if tree_index % 2 != 0:
+            res = blake2s(witness + res)
+        else:
+            res = blake2s(res + witness)
+        tree_index //= 2
+    return res
+
+
 def verify_branch(root: bytes, index: int, br: Branch) -> bytes:
     w = len(br.witnesses)
     idx = permute_4_index(index, 2 ** (w + 1))

@@ -33,6 +33,8 @@ def _assert_same(a: wire.ProofArrays, b: wire.ProofArrays):
         assert (ga.value_words == gb.value_words).all()
         assert (ga.sibling_words == gb.sibling_words).all()
         assert (ga.witness_words == gb.witness_words).all()
+        assert (ga.vsizes == gb.vsizes).all()
+        assert (ga.depths == gb.depths).all()
 
 
 def test_native_matches_python(lib, proof_bytes):
