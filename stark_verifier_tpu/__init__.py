@@ -46,3 +46,58 @@ def verify_proof_bytes(proof_bytes: bytes, inp: int = 3,
         return False
     fn, _ = V.make_verifier(cfg, inp=inp)
     return bool(np.asarray(fn(tree)))
+
+
+def verify_mimc(inp, num_steps, round_constants, output, proofs,
+                strict: bool = False):
+    """Batched general verification -- the reference cdylib boundary
+    (reference: /root/reference/src/lib.rs:99 pub verify_mimc_proof taking
+    (inp, num_steps, round_constants, output, proof, modulus)).
+
+    inp/output: ints; round_constants: list of ints (len a power of two);
+    proofs: one `bytes` or a list of serialized proofs (same statement
+    family, so one compiled graph covers the batch).  The modulus is the
+    compile-time field prime (the limb arithmetic is specialized to it).
+    Returns a numpy bool array [len(proofs)] (scalar bool for one proof);
+    malformed proofs reject instead of panicking.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+    from . import fp as _fp
+    from .config import StarkConfig
+    from .models.mimc import MimcStatement
+    from .proofio import wire, device
+
+    single = isinstance(proofs, (bytes, bytearray))
+    blobs = [proofs] if single else list(proofs)
+    cfg = StarkConfig(log_steps=num_steps.bit_length() - 1,
+                      num_constants=len(round_constants), strict=strict)
+    if cfg.num_steps != num_steps:
+        raise ValueError("num_steps must be a power of two")
+    fn, _ = MimcStatement(cfg).make_general_verifier()
+
+    trees, ok_parse = [], []
+    golden_shape = None
+    for b in blobs:
+        try:
+            t = device.proof_tree(wire.parse_proof_fast(bytes(b)))
+            trees.append(t)
+            ok_parse.append(True)
+            golden_shape = t
+        except wire.WireFormatError:
+            trees.append(None)
+            ok_parse.append(False)
+    if golden_shape is None:
+        out = np.zeros(len(blobs), dtype=bool)
+        return bool(out[0]) if single else out
+    trees = [t if t is not None else golden_shape for t in trees]
+    batch = device.to_device(device.stack_proofs(trees))
+
+    verdicts = np.asarray(fn(
+        batch,
+        jnp.asarray(_fp.int_to_limbs(inp % MODULUS)),
+        jnp.asarray(_fp.ints_to_limbs([c % MODULUS for c in round_constants])),
+        jnp.asarray(_fp.int_to_limbs(output % MODULUS)),
+    ))
+    verdicts = verdicts & np.asarray(ok_parse)
+    return bool(verdicts[0]) if single else verdicts

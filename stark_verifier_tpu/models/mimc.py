@@ -36,3 +36,8 @@ class MimcStatement(StatementFamily):
 
     def make_verifier(self, inp: int = 3):
         return V.make_verifier(self._cfg, inp=inp)
+
+    def make_general_verifier(self):
+        """Runtime-parameter verifier (cdylib boundary, lib.rs:99): see
+        protocol.verify.make_general_verifier."""
+        return V.make_general_verifier(self._cfg)
