@@ -1,15 +1,19 @@
 """Pallas TPU kernel for fused 256-bit modular multiplication.
 
-The XLA lowering of ops/field.mul_mod materializes the [N, 16, 16] limb
-product matrix and its padded diagonal-sum intermediates in HBM -- several KB
-of memory traffic per multiply, making the op HBM-bound at ~2 M mul/s on a
-v5e.  This kernel keeps the whole schoolbook product, Kogge-Stone carry
-propagation, sparse-prime folds, and final conditional subtract in
+The XLA lowering of ops/field.mul_mod materializes the limb product columns
+and fold intermediates in HBM -- several KB of memory traffic per multiply.
+This kernel keeps the whole schoolbook product, the carry-pass-minimal fold
+chain (same derivation as field._fold_cols), and the +C canonical select in
 VMEM/registers: per multiply it reads 128 B of operands and writes 64 B.
 
 Layout: limb-major [16, N] tiles (limbs on the sublane axis, batch on the
-128-lane axis), so every per-limb row is a contiguous vector.  The public
+lane axis), so every per-limb row is a contiguous vector.  The public
 wrapper accepts/returns the framework's [..., 16] layout and adapts.
+
+Mosaic notes (learned from tools/pallas_repro.py): slice-accumulation
+(`x.at[i:j].add`) lowers to scatter-add, which Mosaic does not implement --
+every shifted add here is therefore built as a zero-pad concatenate, which
+lowers to cheap sublane shifts.
 
 Same bit-exact semantics as field.mul_mod: inputs any values < 2^256,
 output canonical in [0, p).
@@ -29,40 +33,62 @@ from .. import fp
 
 MASK = 0xFFFF            # plain int: pallas kernels cannot capture jnp consts
 LANE_TILE = 512          # batch elements per grid step
+_C0, _C1, _C2 = (int(c) for c in fp.FOLD_C_LIMBS)
+
+
+def _shift_rows(v: jnp.ndarray, k: int, out_rows: int) -> jnp.ndarray:
+    """[r, T] -> [out_rows, T] with out[i] = v[i - k] (zeros elsewhere).
+    Pure concatenate -- no scatter."""
+    r = v.shape[0]
+    parts = []
+    if k > 0:
+        parts.append(jnp.zeros((k, v.shape[1]), v.dtype))
+    take = min(r, out_rows - k)
+    parts.append(v[:take])
+    pad = out_rows - k - take
+    if pad > 0:
+        parts.append(jnp.zeros((pad, v.shape[1]), v.dtype))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
 def _carry_cols(v: jnp.ndarray) -> jnp.ndarray:
     """Normalize limb columns (< 2^27) along axis 0 of [n, T]; exact, no
-    control flow (same derivation as field._carry_fix, limb-major)."""
+    control flow (same Kogge-Stone derivation as field._carry_fix,
+    limb-major and scatter-free).
+
+    The generate/propagate lanes are kept as uint32 0/1 values -- Mosaic
+    rejects vector-mask register casts ("Invalid vector register cast"), so
+    no boolean vectors appear anywhere."""
     n = v.shape[0]
     c = v >> 16
     lo = v & MASK
-    s = lo.at[1:].add(c[:-1])
-    g = (s >> 16).astype(jnp.bool_)
+    s = lo + _shift_rows(c, 1, n)            # top carry drops (mod 2^(16n))
+    g = s >> 16                              # generate: 0/1 (s < 2^17)
     t = s & MASK
-    p = t == MASK
+    p = (t + 1) >> 16                        # propagate: 1 iff t == 0xFFFF
     shift = 1
     while shift < n:
-        zg = jnp.zeros_like(g)
-        zp = jnp.zeros_like(p)
-        g_prev = zg.at[shift:].set(g[:-shift])
-        p_prev = zp.at[shift:].set(p[:-shift])
-        g = g | (p & g_prev)
-        p = p & p_prev
+        g = g | (p & _shift_rows(g, shift, n))
+        p = p & _shift_rows(p, shift, n)
         shift *= 2
-    carry_in = jnp.zeros_like(g).at[1:].set(g[:-1])
-    return (t + carry_in.astype(jnp.uint32)) & MASK
+    carry_in = _shift_rows(g, 1, n)
+    return (t + carry_in) & MASK
 
 
-def _ge_cols(a: jnp.ndarray, b_const: np.ndarray) -> jnp.ndarray:
-    """a >= b (per column) for a [16, T] against constant limbs b [16]."""
-    res = jnp.zeros(a.shape[1:], dtype=jnp.int32)
-    for i in range(a.shape[0] - 1, -1, -1):
-        ai = a[i].astype(jnp.int32)
-        bi = jnp.int32(int(b_const[i]))
-        d = jnp.sign(ai - bi)
-        res = jnp.where(res != 0, res, d)
-    return res >= 0
+def _acc_mul_c(acc: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """acc += C * m for UNNORMALIZED m [rm, T] (limbs < 2^25), with C's three
+    16-bit limbs multiplying m's on-the-fly 16-bit split (field._acc_mul_c,
+    limb-major)."""
+    rows = acc.shape[0]
+    m_lo = m & MASK
+    m_hi = m >> 16
+    for k, c in enumerate((_C0, _C1, _C2)):
+        cu = jnp.uint32(c)
+        p_lo = m_lo * cu
+        acc = acc + _shift_rows(p_lo & MASK, k, rows)
+        acc = acc + _shift_rows(p_lo >> 16, k + 1, rows)
+        acc = acc + _shift_rows(m_hi * cu, k + 1, rows)
+    return acc
 
 
 def _mul_mod_kernel(a_ref, b_ref, o_ref):
@@ -70,52 +96,36 @@ def _mul_mod_kernel(a_ref, b_ref, o_ref):
     b = b_ref[:]
     T = a.shape[1]
 
-    # schoolbook product columns (each limb product exact in uint32)
-    acc = jnp.zeros((32, T), jnp.uint32)
+    # schoolbook product columns (each limb product exact in uint32):
+    # row sums stay < 2^21
+    acc = jnp.zeros((33, T), jnp.uint32)
     for i in range(16):
         prod = a[i][None, :] * b     # [16, T]
-        lo = prod & MASK
-        hi = prod >> 16
-        acc = acc.at[i:i + 16].add(lo)
-        acc = acc.at[i + 1:i + 17].add(hi)
-    w = _carry_cols(acc)             # [32, T] normalized
+        acc = acc + _shift_rows(prod & MASK, i, 33)
+        acc = acc + _shift_rows(prod >> 16, i + 1, 33)
 
-    C = fp.FOLD_C_LIMBS              # [3] host constants
-    Cj = [jnp.uint32(int(C[k])) for k in range(3)]
+    # fold 1: lo + C * hi           (rows < 2^23.2)
+    f1 = _acc_mul_c(_shift_rows(acc[:16], 0, 20), acc[16:33])
+    # fold 2: + C * top-4           (rows < 2^25.4)
+    f2 = _acc_mul_c(_shift_rows(f1[:16], 0, 17), f1[16:20])
+    t = _carry_cols(f2)              # [17, T] normalized; t[16] < 2^14
 
-    def mul_c(h, out_rows):          # h [m, T] * C into [out_rows, T] columns
-        m = h.shape[0]
-        acc = jnp.zeros((out_rows, T), jnp.uint32)
-        for k in range(3):
-            prod = h * Cj[k]
-            acc = acc.at[k:k + m].add(prod & MASK)
-            acc = acc.at[k + 1:k + m + 1].add(prod >> 16)
-        return acc
-
-    # fold 1: lo + hi*C  (< 2^298 -> 19 limbs)
-    t1 = _carry_cols(mul_c(w[16:], 19).at[:16].add(w[:16]))
-    # fold 2 (< 2^256 + 2^84 -> 17 limbs)
-    t2 = _carry_cols(mul_c(t1[16:19], 17).at[:16].add(t1[:16]))
-    # folds 3+4: top limb in {0,1}
-    for _ in range(2):
-        top = t2[16]
-        acc3 = jnp.zeros((17, T), jnp.uint32).at[:16].set(t2[:16])
-        for k in range(3):
-            prod = top * Cj[k]
-            acc3 = acc3.at[k].add(prod & MASK)
-            acc3 = acc3.at[k + 1].add(prod >> 16)
-        t2 = _carry_cols(acc3)
-    r = t2[:16]
-
-    # canonical subtract of p where r >= p (constants as python scalars --
-    # pallas kernels cannot capture device constant arrays)
-    P = fp.P_LIMBS
-    ge = _ge_cols(r, P)
-    rows = [r[i] + jnp.uint32(0xFFFF - int(P[i])) for i in range(16)]
-    s = jnp.stack(rows)
-    s = s.at[0].add(jnp.uint32(1))
-    s = _carry_cols(s)
-    o_ref[:] = jnp.where(ge[None, :], s, r)
+    # fold 3: v = t[:16] + C * t[16]  (rows < 2^17.2), u = v + C; normalize
+    # both, select on u's carry-out (v >= p  <=>  u >= 2^256)
+    t16 = t[16][None, :]
+    v = t[:16]
+    for k, c in enumerate((_C0, _C1, _C2)):
+        p = t16 * jnp.uint32(c)      # [1, T] < 2^30
+        v = v + _shift_rows(p & MASK, k, 16)
+        v = v + _shift_rows(p >> 16, k + 1, 16)
+    cvec = jnp.concatenate(
+        [jnp.full((1, T), np.uint32(c), jnp.uint32) for c in (_C0, _C1, _C2)]
+        + [jnp.zeros((13, T), jnp.uint32)], axis=0)
+    v17 = _shift_rows(v, 0, 17)
+    u17 = _shift_rows(v + cvec, 0, 17)
+    vn = _carry_cols(v17)
+    un = _carry_cols(u17)
+    o_ref[:] = jnp.where(un[16][None, :] > 0, un[:16], vn[:16])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
