@@ -56,9 +56,30 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
 
 
 def shard_batch(tree, mesh: Mesh, axis_name: str = "data"):
-    """device_put a batched proof tree with its leading axis sharded."""
+    """device_put a batched proof tree with its leading axis sharded.
+
+    Single-process form: every process must pass the identical global batch.
+    Multi-host ingestion of per-host data goes through shard_batch_per_host.
+    """
     sharding = NamedSharding(mesh, P(axis_name))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_batch_per_host(local_tree, mesh: Mesh, axis_name: str = "data"):
+    """Assemble a global sharded batch from PER-HOST local shards.
+
+    Each process passes only the proofs it parsed ([local_n, ...] leading
+    axis); the result is a global [n_processes * local_n, ...] array sharded
+    over the mesh -- the multi-host ingestion path (each host device_puts
+    only its addressable shard; no cross-host data movement happens until
+    the verdict collective)."""
+    sharding = NamedSharding(mesh, P(axis_name))
+
+    def put(x):
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree.map(put, local_tree)
 
 
 def make_sharded_verifier(mesh: Mesh, cfg: StarkConfig | None = None,
