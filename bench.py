@@ -42,14 +42,17 @@ def main():
         t = time.perf_counter()
         jax.block_until_ready(fn(tree))
         times.append(time.perf_counter() - t)
-    p50 = float(np.percentile(times, 50))
-    throughput = batch / p50
 
+    from stark_verifier_tpu.profiling import BenchReport
+    report = BenchReport(batch=batch, iters=iters,
+                         p50_s=float(np.percentile(times, 50)),
+                         device=str(jax.devices()[0]), n_devices=1)
+    print(report.to_json(), file=sys.stderr)   # full metrics report
     print(json.dumps({
         "metric": "batched MiMC-STARK verifications/s (1 chip)",
-        "value": round(throughput, 2),
+        "value": round(report.proofs_per_s, 2),
         "unit": "proofs/s",
-        "vs_baseline": round(throughput / BASELINE_PROOFS_PER_S, 2),
+        "vs_baseline": round(report.proofs_per_s / BASELINE_PROOFS_PER_S, 2),
     }))
 
 

@@ -46,7 +46,7 @@ def _build_parser():
     return ap
 
 
-def _prepare(args):
+def _prepare(args, times: "PhaseTimes"):
     import jax
     import stark_verifier_tpu as sv
     sv.enable_compile_cache()
@@ -56,40 +56,42 @@ def _prepare(args):
 
     cfg = StarkConfig(log_steps=args.log_steps,
                       strict=getattr(args, "strict", False))
-    t0 = time.perf_counter()
-    with open(args.proof, "rb") as f:
-        proof_bytes = f.read()
-    try:
-        parsed = wire.parse_proof_fast(proof_bytes)
-    except wire.WireFormatError as e:
-        print(f"malformed proof: {e}", file=sys.stderr)
-        sys.exit(2)
-    tree = device.proof_tree(parsed)
-    if args.batch > 1:
-        tree = device.replicate_proof(tree, args.batch)
-    tree = device.to_device(tree)
-    t_parse = time.perf_counter() - t0
+    with times.phase("parse"):
+        with open(args.proof, "rb") as f:
+            proof_bytes = f.read()
+        try:
+            parsed = wire.parse_proof_fast(proof_bytes)
+        except wire.WireFormatError as e:
+            print(f"malformed proof: {e}", file=sys.stderr)
+            sys.exit(2)
+        tree = device.proof_tree(parsed)
+        if args.batch > 1:
+            tree = device.replicate_proof(tree, args.batch)
+    with times.phase("h2d"):
+        tree = device.to_device(tree)
+        jax.block_until_ready(tree)
 
     fn, _tables = V.make_verifier(cfg, inp=args.input)
-    return jax, fn, tree, t_parse
+    return jax, fn, tree
 
 
 def cmd_verify(args):
-    jax, fn, tree, t_parse = _prepare(args)
+    from stark_verifier_tpu.profiling import PhaseTimes, maybe_trace
+    times = PhaseTimes()
+    jax, fn, tree = _prepare(args, times)
 
-    t1 = time.perf_counter()
-    verdicts = np.asarray(fn(tree))
-    t_verify = time.perf_counter() - t1
+    with times.phase("verify (jit compile + run)"):
+        verdicts = np.asarray(fn(tree))
 
     if args.profile:
-        with jax.profiler.trace("./trace"):
-            np.asarray(fn(tree))
+        with maybe_trace(True):
+            with times.phase("verify (steady state)"):
+                np.asarray(fn(tree))
 
     n = max(args.batch, 1)
     ok = bool(verdicts.all())
-    print(f"parse + stage time: {t_parse * 1e3:.1f} ms")
-    print(f"verification time (jit compile + run, batch={n}): "
-          f"{t_verify * 1e3:.1f} ms")
+    for name, secs in times.phases.items():
+        print(f"{name}: {secs * 1e3:.1f} ms")
     if ok:
         print("proof verified")
         return 0
@@ -99,27 +101,30 @@ def cmd_verify(args):
 
 
 def cmd_bench(args):
-    jax, fn, tree, _ = _prepare(args)
-    verdicts = np.asarray(fn(tree))  # compile + warm
+    from stark_verifier_tpu.profiling import PhaseTimes, BenchReport, maybe_trace
+    times = PhaseTimes()
+    jax, fn, tree = _prepare(args, times)
+    with times.phase("compile + warm"):
+        verdicts = np.asarray(fn(tree))
     if not verdicts.all():
         print("proof rejected; refusing to bench a failing verify", file=sys.stderr)
         return 1
     n = max(args.batch, 1)
-    times = []
-    for _ in range(args.iters):
-        t = time.perf_counter()
-        r = fn(tree)
-        jax.block_until_ready(r)
-        times.append(time.perf_counter() - t)
-    times = np.array(times)
-    result = {
-        "batch": n,
-        "iters": args.iters,
-        "p50_ms": float(np.percentile(times, 50) * 1e3),
-        "proofs_per_s": float(n / np.percentile(times, 50)),
-        "device": str(jax.devices()[0]),
-    }
-    print(json.dumps(result))
+    samples = []
+    with maybe_trace(args.profile):
+        for _ in range(args.iters):
+            t = time.perf_counter()
+            jax.block_until_ready(fn(tree))
+            samples.append(time.perf_counter() - t)
+    report = BenchReport(
+        batch=n, iters=args.iters,
+        p50_s=float(np.percentile(samples, 50)),
+        device=str(jax.devices()[0]),
+        n_devices=1,
+    )
+    log.info("phases: %s",
+             {k: round(v * 1e3, 1) for k, v in times.phases.items()})
+    print(report.to_json())
     return 0
 
 
