@@ -45,6 +45,45 @@ def test_random_byte_flips_reject(proof_bytes):
     assert bool(np.asarray(fn(tree)))
 
 
+def test_batched_region_sweep(proof_bytes):
+    """Batched corruption sweep: one verify call covers a whole batch of
+    single-bit flips across committed-value regions (the scalable form of
+    this suite -- tools/fuzz_sweep.py runs thousands of offsets on TPU)."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from fuzz_sweep import span_map
+
+    spans = span_map(proof_bytes)
+    batch = 64
+    picks = [spans[rng.randrange(len(spans))] for _ in range(batch)]
+    offsets = [rng.randrange(s, e) for s, e, _ in picks]
+
+    fn, _ = V.make_verifier(StarkConfig(strict=True))
+    trees = []
+    for off in offsets:
+        b = bytearray(proof_bytes)
+        b[off] ^= 1 << rng.randrange(8)
+        trees.append(device.proof_tree(wire.parse_proof(bytes(b))))
+    verdicts = np.asarray(fn(device.to_device(device.stack_proofs(trees))))
+    accepted = [(offsets[i], picks[i][2]) for i in range(batch) if verdicts[i]]
+    assert not accepted, f"corruptions accepted: {accepted}"
+
+
+def test_fuzz_sweep_artifact_coverage():
+    """The TPU-scale sweep artifact (tools/fuzz_sweep.py) must cover >= 1000
+    offsets with zero accepts."""
+    import json
+    import os
+    import pytest
+    path = "/root/repo/FUZZ_SWEEP.json"
+    if not os.path.exists(path):
+        pytest.skip("run tools/fuzz_sweep.py to generate the artifact")
+    with open(path) as f:
+        d = json.load(f)
+    assert d["offsets_tested"] >= 1000
+    assert d["rejected"] == d["offsets_tested"]
+
+
 def _in_ignored_region(off: int, proof_bytes: bytes) -> bool:
     """True if `off` lies in the POINTS payload (ignored in parity mode)."""
     r = wire._Reader(proof_bytes)
