@@ -223,6 +223,53 @@ def neg_mod(a: jnp.ndarray) -> jnp.ndarray:
     return sub_mod(z, a)
 
 
+def is_zero_combo(pos: list, neg: list) -> jnp.ndarray:
+    """sum(pos) - sum(neg) == 0 (mod p) for canonical [..., 16] terms,
+    WITHOUT materializing the canonical difference.
+
+    One accumulation covers any number of terms: D = sum(pos) +
+    sum(~neg_i) + n_neg  (= sum(pos) - sum(neg) + n_neg * 2^256 >= 0),
+    normalized once; the 2^256 overflow folds via C; the folded residue
+    r < 2^256 + eps is congruent to the difference and < 2p, so the zero
+    test is simply r in {0, p}.  Two Kogge passes total versus one stacked
+    pass per sub_mod in a chain.  Returns [...] bool.
+
+    Replaces the reference's per-check `assert x == 0` chains
+    (main.rs:179-192) at a fraction of the elementwise cost.
+    """
+    n_terms = len(pos) + len(neg)
+    assert n_terms >= 2
+    shape = jnp.broadcast_shapes(*[t.shape for t in pos + neg])
+    for t in pos + neg:
+        debug.check_limbs(t, "is_zero_combo term")
+    # each complement contributes an extra 2^256 === C (mod p); cancel all of
+    # them with one host constant so the folded residue is congruent to the
+    # true difference
+    k_adj = fp.int_to_limbs((-len(neg) * fp.FOLD_C) % fp.MODULUS)
+    acc = jnp.zeros(shape[:-1] + (NLIMBS + 1,), jnp.uint32)
+    s = jnp.broadcast_to(jnp.asarray(k_adj), shape)
+    for t in pos:
+        s = s + t
+    for t in neg:
+        s = s + (MASK - t)
+    acc = acc.at[..., :NLIMBS].set(s)
+    acc = acc.at[..., 0].add(jnp.uint32(len(neg)))
+    t17 = _carry_fix(acc)                        # limbs < 2^16; t17[16] < 8
+    # fold the 2^256 multiples in 17 limbs: r = t[:16] + t[16]*C
+    top = t17[..., NLIMBS]
+    r17 = jnp.zeros(shape[:-1] + (NLIMBS + 1,), jnp.uint32)
+    r17 = r17.at[..., :NLIMBS].set(t17[..., :NLIMBS])
+    r17 = r17.at[..., 0].add(top * _C[0])
+    r17 = r17.at[..., 1].add(top * _C[1])
+    r17 = r17.at[..., 2].add(top * _C[2])
+    r17 = _carry_fix(r17)
+    # r17 ≡ D (mod p), r17 < 2^256 + 8C < 2p: zero  <=>  r17 in {0, p}
+    zeros = jnp.all(r17 == 0, axis=-1)
+    p17b = jnp.broadcast_to(jnp.asarray(np.pad(fp.P_LIMBS, (0, 1))), r17.shape)
+    isp = jnp.all(r17 == p17b, axis=-1)
+    return jnp.logical_or(zeros, isp)
+
+
 # ---------------------------------------------------------------------------
 # Multiplication
 # ---------------------------------------------------------------------------
@@ -397,11 +444,28 @@ def reduce_wide(w: jnp.ndarray, canonical: bool = True) -> jnp.ndarray:
     return _fold_cols(w, canonical=canonical)
 
 
+def _pallas_mul_enabled() -> bool:
+    """Opt-in fused Pallas multiply (STARK_PALLAS=1, TPU backend only).
+
+    The Mosaic toolchain pays a ~10-minute one-time warmup per process
+    through the axon remote-compile tunnel (docs/PERF.md), so the default
+    stays on the XLA path; long-running servers/benches can flip it on.
+    """
+    import os
+    if os.environ.get("STARK_PALLAS", "0") != "1":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def mul_mod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a * b) mod p, canonical; inputs may be any values < 2^256.
 
     Fused path: the MXU column accumulator feeds the fold chain directly
-    (no intermediate 32-limb carry normalization)."""
+    (no intermediate 32-limb carry normalization).  STARK_PALLAS=1 swaps in
+    the VMEM-resident Pallas kernel (ops/field_pallas.py)."""
+    if _pallas_mul_enabled():
+        from . import field_pallas
+        return field_pallas.mul_mod(a, b)
     if _USE_MXU_MUL:
         return _fold_cols(_mul_acc_mxu(a, b))
     return _fold_cols(_mul_acc(a, b, 32))

@@ -238,10 +238,11 @@ def verify_mimc_proof(tree, inp, output_limbs, tables: StatementTables,
         k_of_x = F.eval_poly(minipoly, x_sk2)
 
     # transition: P(g1*x) - P(x)^3 - K(x) - Z(x)*D(x) == 0  (main.rs:179-182)
+    # -- one multi-term accumulation per check (field.is_zero_combo) instead
+    # of chained sub_mod normalizations
     p_cubed = F.mul_mod(F.sqr_mod(p_of_x), p_of_x)
-    t = F.sub_mod(F.sub_mod(F.sub_mod(p_of_g1x, p_cubed), k_of_x),
-                  F.mul_mod(z, d_of_x))
-    checks.append(jnp.all(jnp.all(t == 0, axis=-1), axis=-1))
+    t_ok = F.is_zero_combo([p_of_g1x], [p_cubed, k_of_x, F.mul_mod(z, d_of_x)])
+    checks.append(jnp.all(t_ok, axis=-1))
 
     # boundary: P(x) - B(x)*Z2(x) - I(x) == 0  (main.rs:183-187)
     # I(x) interpolates (1, inp), (last, output); host-constant scaffolding,
@@ -264,24 +265,26 @@ def verify_mimc_proof(tree, inp, output_limbs, tables: StatementTables,
             F.mul_mod(iy0, F.const((-tables.last_step_position) % m)),
             F.mul_mod(F.const(m - 1), iy1))
         i_c1 = F.add_mod(iy0, iy1)
-    interp_at_x = F.add_mod(i_c0[..., None, :],
-                            F.mul_mod(i_c1[..., None, :], x))
     # Z2(x) = (x-1)(x-last) -- position-indexed host table (main.rs:185)
     z2_at_x = jnp.take(jnp.asarray(tables.z2_table), positions, axis=0)
-    bcheck = F.sub_mod(F.sub_mod(p_of_x, F.mul_mod(b_of_x, z2_at_x)),
-                       interp_at_x)
-    checks.append(jnp.all(jnp.all(bcheck == 0, axis=-1), axis=-1))
+    interp_at_x = F.add_mod(i_c0[..., None, :],
+                            F.mul_mod(i_c1[..., None, :], x))
+    b_ok = F.is_zero_combo([p_of_x],
+                           [F.mul_mod(b_of_x, z2_at_x), interp_at_x])
+    checks.append(jnp.all(b_ok, axis=-1))
 
     # lincomb: L(x) = D + k1*P + k2*P*x^steps + k3*B + k4*B*x^steps
     # with raw unreduced k's (main.rs:188-192; SURVEY 2.2.3)
     p_xs = F.mul_mod_lazy(p_of_x, x_to_steps)
     b_xs = F.mul_mod_lazy(b_of_x, x_to_steps)
-    lc = F.sub_mod(l_of_x, d_of_x)
-    lc = F.sub_mod(lc, F.mul_mod(ks[0][..., None, :], p_of_x))
-    lc = F.sub_mod(lc, F.mul_mod(ks[1][..., None, :], p_xs))
-    lc = F.sub_mod(lc, F.mul_mod(ks[2][..., None, :], b_of_x))
-    lc = F.sub_mod(lc, F.mul_mod(ks[3][..., None, :], b_xs))
-    checks.append(jnp.all(jnp.all(lc == 0, axis=-1), axis=-1))
+    lc_ok = F.is_zero_combo(
+        [l_of_x],
+        [d_of_x,
+         F.mul_mod(ks[0][..., None, :], p_of_x),
+         F.mul_mod(ks[1][..., None, :], p_xs),
+         F.mul_mod(ks[2][..., None, :], b_of_x),
+         F.mul_mod(ks[3][..., None, :], b_xs)])
+    checks.append(jnp.all(lc_ok, axis=-1))
 
     ok = checks[0]
     for c in checks[1:]:

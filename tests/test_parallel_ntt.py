@@ -44,6 +44,29 @@ def test_sharded_intt_roundtrip_16384():
     assert [fp.limbs_to_int(r) for r in back] == vals
 
 
+def test_sharded_ntt_roundtrip_131072():
+    """2^17 (BASELINE's larger configs) on the 8-device mesh: round-trip plus
+    spot-eval against exact Python ints."""
+    n = 1 << 17
+    root = _root(n)
+    vals = [rng.randrange(P_) for _ in range(n)]
+    mesh = M.make_mesh(8)
+    fwd = make_sharded_ntt(n, root, mesh)
+    inv = make_sharded_ntt(n, root, mesh, inverse=True)
+    d = jnp.asarray(fp.ints_to_limbs_fast(vals))
+    out = fwd(d)
+    back = np.asarray(inv(out))
+    assert [fp.limbs_to_int(r) for r in back] == vals
+    out = np.asarray(out)
+    for i in (1, 99999):
+        x = pow(root, i, P_)
+        acc, pw = 0, 1
+        for c in vals:
+            acc = (acc + c * pw) % P_
+            pw = pw * x % P_
+        assert fp.limbs_to_int(out[i]) == acc, i
+
+
 def test_sharded_matches_local_kernel():
     n = 2048
     root = _root(n)

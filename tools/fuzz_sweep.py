@@ -82,10 +82,12 @@ def main():
     total_bytes = sum(e - s for s, e, _ in spans)
     print(f"{len(spans)} committed-value spans, {total_bytes} bytes", flush=True)
 
-    # sample offsets proportionally across spans, always covering each region
+    # one offset per span (shuffled so truncation never starves a region),
+    # then uniform filler over all committed bytes
     offsets = []
     for s, e, kind in spans:
         offsets.append((rng.randrange(s, e), kind))
+    rng.shuffle(offsets)
     flat = [(o, k) for s, e, k in spans for o in range(s, e)]
     while len(offsets) < n_offsets:
         offsets.append(flat[rng.randrange(len(flat))])
