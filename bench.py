@@ -25,7 +25,7 @@ def main():
     from stark_verifier_tpu.proofio import wire, device
     from stark_verifier_tpu.protocol import verify as V
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     with open("/root/reference/proof.bin", "rb") as f:
@@ -33,15 +33,25 @@ def main():
     tree = device.proof_tree(wire.parse_proof_fast(proof_bytes))
     tree = device.to_device(device.replicate_proof(tree, batch))
 
-    fn, _ = V.make_verifier(StarkConfig())
+    if batch > 1024 and batch % 1024 == 0:
+        # beyond the ~1024 working-set sweet spot, chunk inside the graph
+        # (docs/PERF.md batch-scaling note)
+        fn, _ = V.make_chunked_verifier(StarkConfig(), chunk=1024)
+    else:
+        fn, _ = V.make_verifier(StarkConfig())
     verdicts = np.asarray(fn(tree))  # compile + warm
     assert verdicts.all(), "golden proof rejected -- refusing to bench"
 
     times = []
     for _ in range(iters):
         t = time.perf_counter()
-        jax.block_until_ready(fn(tree))
+        # np.asarray, not block_until_ready: through the axon tunnel,
+        # block_until_ready has been observed to return before the TPU
+        # computation completes; fetching the [batch] verdict bytes to host
+        # is the honest end-of-pipeline sync (and is what a caller needs).
+        ok = np.asarray(fn(tree))
         times.append(time.perf_counter() - t)
+        assert ok.all()
 
     from stark_verifier_tpu.profiling import BenchReport
     report = BenchReport(batch=batch, iters=iters,

@@ -471,6 +471,46 @@ def mul_mod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return _fold_cols(_mul_acc(a, b, 32))
 
 
+def mul_sum_mod(pairs, extra=(), canonical: bool = True) -> jnp.ndarray:
+    """sum_i a_i * b_i  +  sum_j extra_j   (mod p), with ONE fold reduction.
+
+    pairs: iterable of (a, b) [..., 16] limb arrays (values < 2^256, limbs
+    normalized < 2^16; broadcastable leads).  extra: iterable of [..., 16]
+    plain addends (same domain).  The per-product column accumulators are
+    summed in uint32 BEFORE the fold chain, so a k-term product sum pays a
+    single _fold_cols instead of k of them -- the dominant per-multiply cost
+    (the reference pays a full reduce per BigInt op, src/utils.rs:122-167).
+
+    Bound analysis (why one fold stays exact up to n = 16 products):
+      * each product's 32 columns are < 2^21 (16 limb-products split in
+        halves), exact in the f32 MXU dots individually; the uint32 column
+        sum is < n*2^21 + n_extra*2^16 < 2^25.
+      * _fold_cols tolerates that: fold-1/2 intermediates stay < 2^29 << 2^32
+        and _carry_fix is exact for ANY uint32 limbs (its per-limb
+        carry < 2^16 keeps the Kogge generate bit single-bit); the conserva-
+        tive 2^21 figure in its docstring is the single-product case.
+    Canonical output.  Covered by test_field.test_mul_sum_mod incl. the
+    all-0xFFFF worst case at n = 16.
+    """
+    pairs = list(pairs)
+    extra = list(extra)
+    n = len(pairs)
+    assert 1 <= n <= 16 and len(extra) <= 8
+    for a, b in pairs:
+        debug.check_limbs(a, "mul_sum_mod lhs")
+        debug.check_limbs(b, "mul_sum_mod rhs")
+    mk = (_mul_acc_mxu if _USE_MXU_MUL
+          else (lambda a, b: _mul_acc(a, b, 32)))
+    acc = mk(*pairs[0])
+    for a, b in pairs[1:]:
+        acc = acc + mk(a, b)
+    for t in extra:
+        debug.check_limbs(t, "mul_sum_mod extra")
+        pad = jnp.zeros(t.shape[:-1] + (32,), jnp.uint32)
+        acc = acc + pad.at[..., :NLIMBS].set(t)
+    return _fold_cols(acc, canonical=canonical)
+
+
 def mul_mod_lazy(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a * b) mod p.  Historically a cheaper < 2^256 residue; with the
     stacked-normalization fold the canonical result is just as cheap, so
@@ -704,7 +744,10 @@ def eval_poly(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     acc = jnp.broadcast_to(canon(rev[0]), x.shape).astype(jnp.uint32)
 
     def step(acc, c):
-        return add_mod(mul_mod(acc, x), jnp.broadcast_to(canon(c), x.shape)), None
+        # acc*x + c through one fold (mul_sum_mod) per Horner step
+        nxt = mul_sum_mod([(acc, x)],
+                          extra=[jnp.broadcast_to(canon(c), x.shape)])
+        return nxt, None
 
     acc, _ = lax.scan(step, acc, rev[1:])
     return acc

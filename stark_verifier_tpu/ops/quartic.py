@@ -95,16 +95,18 @@ def eval4_inv_free(nodes: jnp.ndarray, x1cb_inv: jnp.ndarray,
         F.mul_mod(d01, d[..., 3, :]), F.mul_mod(d01, d[..., 2, :]),
     ], axis=-2)                                          # prod_{j != i} d_j
     yw = F.mul_mod(ys, winv)                             # [..., G, 4, 16]
-    terms = F.mul_mod(yw, others)
-    ssum = F.add_mod(F.add_mod(terms[..., 0, :], terms[..., 1, :]),
-                     F.add_mod(terms[..., 2, :], terms[..., 3, :]))
+    # the 4 barycentric terms sum through ONE fold reduction (field.mul_sum_mod)
+    ssum = F.mul_sum_mod(
+        [(yw[..., i, :], others[..., i, :]) for i in range(4)])
     lhs = F.mul_mod(ssum, x1cb_inv)
 
-    # sx coinciding with a node: the interpolant's value is that node's y
+    # sx coinciding with a node: the interpolant's value is that node's y.
+    # Nodes are distinct, so at most one lane hits -- select the raw y first,
+    # then canonicalize once per GROUP (4x less carry work than canon(ys))
     hit = jnp.all(d == 0, axis=-1)                       # [..., G, 4]
     any_hit = jnp.any(hit, axis=-1)
-    y_can = F.canon(ys)
-    y_hit = jnp.sum(jnp.where(hit[..., None], y_can, 0), axis=-2).astype(jnp.uint32)
+    y_sel = jnp.sum(jnp.where(hit[..., None], ys, 0), axis=-2).astype(jnp.uint32)
+    y_hit = F.canon(y_sel)
     return jnp.where(any_hit[..., None], y_hit, lhs)
 
 

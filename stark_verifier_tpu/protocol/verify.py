@@ -137,8 +137,14 @@ def points_direct_check(points_words, tables: StatementTables,
     used = jnp.take(data, jnp.asarray(pts[:deg]), axis=-2)  # [..., D, 16]
     held = jnp.take(data, jnp.asarray(pts[deg:]), axis=-2)  # [..., H, 16]
     m = jnp.asarray(tables.points_eval_matrix)             # [H, D, 16]
-    terms = F.mul_mod(m, used[..., None, :, :])            # [..., H, D, 16]
-    pred = F._sum_mod(terms, axis=-2)                      # [..., H, 16]
+    if deg <= 16:
+        # all D products of the evaluation-matrix row sum through ONE fold
+        # (field.mul_sum_mod; D = 16 is its exactness bound)
+        pred = F.mul_sum_mod(
+            [(m[..., i, :], used[..., None, i, :]) for i in range(deg)])
+    else:
+        terms = F.mul_mod(m, used[..., None, :, :])        # [..., H, D, 16]
+        pred = F._sum_mod(terms, axis=-2)                  # [..., H, 16]
     # canonical evaluation vs the RAW held-out value, like every other
     # committed-value comparison (a non-canonical byte encoding never equals
     # the canonical evaluation)
@@ -238,10 +244,12 @@ def verify_mimc_proof(tree, inp, output_limbs, tables: StatementTables,
         k_of_x = F.eval_poly(minipoly, x_sk2)
 
     # transition: P(g1*x) - P(x)^3 - K(x) - Z(x)*D(x) == 0  (main.rs:179-182)
-    # -- one multi-term accumulation per check (field.is_zero_combo) instead
-    # of chained sub_mod normalizations
-    p_cubed = F.mul_mod(F.sqr_mod(p_of_x), p_of_x)
-    t_ok = F.is_zero_combo([p_of_g1x], [p_cubed, k_of_x, F.mul_mod(z, d_of_x)])
+    # -- P^2*P + Z*D + K accumulate through ONE fold (field.mul_sum_mod) into
+    # a canonical right-hand side, so the check is a direct limb equality
+    # against the (canonical) P(g1*x)
+    p_sq = F.sqr_mod(p_of_x)
+    rhs_t = F.mul_sum_mod([(p_sq, p_of_x), (z, d_of_x)], extra=[k_of_x])
+    t_ok = jnp.all(p_of_g1x == rhs_t, axis=-1)
     checks.append(jnp.all(t_ok, axis=-1))
 
     # boundary: P(x) - B(x)*Z2(x) - I(x) == 0  (main.rs:183-187)
@@ -265,25 +273,26 @@ def verify_mimc_proof(tree, inp, output_limbs, tables: StatementTables,
             F.mul_mod(iy0, F.const((-tables.last_step_position) % m)),
             F.mul_mod(F.const(m - 1), iy1))
         i_c1 = F.add_mod(iy0, iy1)
-    # Z2(x) = (x-1)(x-last) -- position-indexed host table (main.rs:185)
+    # Z2(x) = (x-1)(x-last) -- position-indexed host table (main.rs:185);
+    # B*Z2 + I_1*x + I_0 accumulate through one fold -> direct equality
     z2_at_x = jnp.take(jnp.asarray(tables.z2_table), positions, axis=0)
-    interp_at_x = F.add_mod(i_c0[..., None, :],
-                            F.mul_mod(i_c1[..., None, :], x))
-    b_ok = F.is_zero_combo([p_of_x],
-                           [F.mul_mod(b_of_x, z2_at_x), interp_at_x])
+    rhs_b = F.mul_sum_mod([(b_of_x, z2_at_x), (i_c1[..., None, :], x)],
+                          extra=[jnp.broadcast_to(i_c0[..., None, :], x.shape)])
+    b_ok = jnp.all(p_of_x == rhs_b, axis=-1)
     checks.append(jnp.all(b_ok, axis=-1))
 
     # lincomb: L(x) = D + k1*P + k2*P*x^steps + k3*B + k4*B*x^steps
-    # with raw unreduced k's (main.rs:188-192; SURVEY 2.2.3)
+    # with raw unreduced k's (main.rs:188-192; SURVEY 2.2.3) -- all four
+    # k-products plus D accumulate through one fold -> direct equality
     p_xs = F.mul_mod_lazy(p_of_x, x_to_steps)
     b_xs = F.mul_mod_lazy(b_of_x, x_to_steps)
-    lc_ok = F.is_zero_combo(
-        [l_of_x],
-        [d_of_x,
-         F.mul_mod(ks[0][..., None, :], p_of_x),
-         F.mul_mod(ks[1][..., None, :], p_xs),
-         F.mul_mod(ks[2][..., None, :], b_of_x),
-         F.mul_mod(ks[3][..., None, :], b_xs)])
+    rhs_l = F.mul_sum_mod(
+        [(ks[0][..., None, :], p_of_x),
+         (ks[1][..., None, :], p_xs),
+         (ks[2][..., None, :], b_of_x),
+         (ks[3][..., None, :], b_xs)],
+        extra=[d_of_x])
+    lc_ok = jnp.all(l_of_x == rhs_l, axis=-1)
     checks.append(jnp.all(lc_ok, axis=-1))
 
     ok = checks[0]
@@ -314,6 +323,43 @@ def make_verifier(cfg: StarkConfig | None = None, inp: int = 3):
         lead = tree["merkle_root"].shape[:-1]
         output = jnp.broadcast_to(jnp.asarray(out_limbs), lead + (fp.NLIMBS,))
         return verify_mimc_proof(tree, inp, output, tables, cfg)
+
+    return debug.checked(verify_fn), tables
+
+
+def make_chunked_verifier(cfg: StarkConfig | None = None, inp: int = 3,
+                          chunk: int = 1024):
+    """Batched verifier that processes the batch in fixed-size chunks INSIDE
+    one compiled graph (lax.map over [batch/chunk, chunk, ...]).
+
+    Throughput peaks near batch 1024 and regresses beyond it (the
+    level-parallel FRI holds every level's intermediates live, so bigger
+    batches pressure VMEM/HBM working sets -- docs/PERF.md); chunking keeps
+    arbitrarily large batches at the peak rate with a single dispatch.
+    Batch must be a multiple of `chunk` (pad with any proof and ignore the
+    verdicts, as verify_stream does).
+    """
+    from ..config import cached_tables
+    cfg = cfg or StarkConfig()
+    tables = cached_tables(cfg)
+    if not cfg.sanity_ok():
+        raise ValueError("statement fails reference sanity checks")
+    out_limbs = fp.int_to_limbs(mimc_ops.mimc_host(inp, cfg.num_steps))
+
+    @jax.jit
+    def verify_fn(tree):
+        batch = tree["merkle_root"].shape[0]
+        assert batch % chunk == 0, (batch, chunk)
+        k = batch // chunk
+        ctree = jax.tree.map(
+            lambda x: x.reshape((k, chunk) + x.shape[1:]), tree)
+
+        def body(t):
+            output = jnp.broadcast_to(jnp.asarray(out_limbs),
+                                      (chunk, fp.NLIMBS))
+            return verify_mimc_proof(t, inp, output, tables, cfg)
+
+        return lax.map(body, ctree).reshape(batch)
 
     return debug.checked(verify_fn), tables
 

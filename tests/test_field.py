@@ -157,3 +157,35 @@ def test_is_zero_combo():
                                           [to_dev([0])])).all()
     assert not np.asarray(field.is_zero_combo([to_dev([P - 1]), to_dev([2])],
                                               [to_dev([0])])).any()
+
+
+def test_mul_sum_mod():
+    """k-product + addend accumulation with a single fold reduction."""
+    for n in (1, 2, 4, 5, 16):
+        a = rand_raw(n)
+        b = rand_raw(n)
+        pairs = [(to_dev([x]), to_dev([y])) for x, y in zip(a, b)]
+        want = sum(x * y for x, y in zip(a, b)) % P
+        got = to_ints(field.mul_sum_mod(pairs))
+        assert got == [want], n
+    # plain addends ride the same fold
+    a, b = rand_raw(3), rand_raw(3)
+    ex = rand_raw(2)
+    got = to_ints(field.mul_sum_mod(
+        [(to_dev([x]), to_dev([y])) for x, y in zip(a, b)],
+        extra=[to_dev([t]) for t in ex]))
+    assert got == [(sum(x * y for x, y in zip(a, b)) + sum(ex)) % P]
+    # worst case: 16 products of all-ones values + 8 all-ones addends --
+    # maximal column sums through the fold chain
+    m = (1 << 256) - 1
+    ones = to_dev([m])
+    got = to_ints(field.mul_sum_mod([(ones, ones)] * 16, extra=[ones] * 8))
+    assert got == [(16 * m * m + 8 * m) % P]
+    # batched shapes + broadcasting leads
+    av, bv = rand_raw(6), rand_raw(6)
+    pa = to_dev(av).reshape(2, 3, 16)
+    pb = to_dev(bv).reshape(2, 3, 16)
+    one = to_dev([1])[0]
+    got = np.asarray(field.mul_sum_mod([(pa, pb), (pa, one)]))
+    want = [(x * y + x) % P for x, y in zip(av, bv)]
+    assert [fp.limbs_to_int(got.reshape(6, 16)[i]) for i in range(6)] == want

@@ -98,3 +98,17 @@ def test_batched_verify_mixed_verdicts(verifier, proof_bytes):
     batch = device.to_device(device.stack_proofs([good, bad, good]))
     got = np.asarray(fn(batch))
     assert got.tolist() == [True, False, True]
+
+
+def test_chunked_verifier_matches_flat(proof_bytes):
+    """In-graph chunking (lax.map over chunk-size slices) returns the same
+    per-proof verdicts as the flat batch path."""
+    from stark_verifier_tpu.protocol.verify import make_chunked_verifier
+    golden = device.proof_tree(wire.parse_proof(proof_bytes))
+    bad = device.proof_tree(wire.parse_proof(proof_bytes))
+    bad["lincomb"]["value"] = bad["lincomb"]["value"].copy()
+    bad["lincomb"]["value"][0, 0] ^= 1
+    batch = device.to_device(device.stack_proofs([golden, bad, bad, golden]))
+    fn, _ = make_chunked_verifier(StarkConfig(), chunk=2)
+    got = np.asarray(fn(batch))
+    assert got.tolist() == [True, False, False, True]
