@@ -56,12 +56,31 @@ SIGMA = np.array([
 # graph).  Unrolled wins on TPU; scan kept for compile-time-sensitive debug.
 UNROLL_ROUNDS = True
 
+# Scalar-word decomposition: carry the 16 state words as 16 SEPARATE [...]
+# arrays (all axes batch axes -- full 128-lane registers, no minor `4` axis
+# to pad) and make the diagonalization pure operand renaming (zero rolls).
+# ~7x more HLO instructions, which explodes CPU XLA compile times, so it is
+# enabled only where measured to win; see _use_scalar_words().
+import os as _os
+
+
+def _use_scalar_words() -> bool:
+    v = _os.environ.get("STARK_HASH_SCALAR")
+    if v is not None:
+        return v == "1"
+    import jax as _jax
+    return _jax.default_backend() == "tpu"
+
+
 # Per-round message-schedule gather indices for the 4-lane formulation:
 # column step x/y words, then diagonal step x/y words, each [10, 4].
 _CX = SIGMA[:, 0:8:2]
 _CY = SIGMA[:, 1:8:2]
 _DX = SIGMA[:, 8:16:2]
 _DY = SIGMA[:, 9:16:2]
+
+# Diagonal-step state indices (a, b, c, d) per column k, scalar-word form
+_DIAG = ((0, 5, 10, 15), (1, 6, 11, 12), (2, 7, 8, 13), (3, 4, 9, 14))
 
 
 def _rotr(x, r: int):
@@ -80,11 +99,37 @@ def _g(a, b, c, d, x, y):
     return a, b, c, d
 
 
+def _compress_scalar(h: jnp.ndarray, m: jnp.ndarray, t: int, last: bool) -> jnp.ndarray:
+    """Scalar-word compression: every state word is its own [...] array."""
+    lead = jnp.broadcast_shapes(h.shape[:-1], m.shape[:-1])
+    h = jnp.broadcast_to(h, lead + (8,))
+    m = jnp.broadcast_to(m, lead + (16,))
+    mw = [m[..., i] for i in range(16)]
+    consts = [int(IV[0]), int(IV[1]), int(IV[2]), int(IV[3]),
+              int(IV[4]) ^ (t & 0xFFFFFFFF), int(IV[5]) ^ (t >> 32),
+              int(IV[6]) ^ (0xFFFFFFFF if last else 0), int(IV[7])]
+    v = ([h[..., i] for i in range(8)]
+         + [jnp.broadcast_to(jnp.uint32(cv), lead) for cv in consts])
+
+    for r in range(10):
+        s = [mw[j] for j in SIGMA[r]]
+        for k in range(4):
+            v[k], v[4 + k], v[8 + k], v[12 + k] = _g(
+                v[k], v[4 + k], v[8 + k], v[12 + k], s[2 * k], s[2 * k + 1])
+        for k, (ia, ib, ic, id_) in enumerate(_DIAG):
+            v[ia], v[ib], v[ic], v[id_] = _g(
+                v[ia], v[ib], v[ic], v[id_], s[8 + 2 * k], s[9 + 2 * k])
+
+    return jnp.stack([h[..., i] ^ v[i] ^ v[8 + i] for i in range(8)], axis=-1)
+
+
 def compress(h: jnp.ndarray, m: jnp.ndarray, t: int, last: bool) -> jnp.ndarray:
     """One Blake2s compression: h [..., 8], m [..., 16] -> new h [..., 8].
 
     t: static byte counter after this block; last: static final-block flag.
     """
+    if _use_scalar_words():
+        return _compress_scalar(h, m, t, last)
     lead = m.shape[:-1]
     h = jnp.broadcast_to(h, lead + (8,))
     a = h[..., 0:4]
