@@ -18,6 +18,11 @@ BASELINE_PROOFS_PER_S = 1 / 0.18  # Python oracle, 1 CPU core (BASELINE.md)
 
 
 def main():
+    import os
+    # fused Pallas protocol kernels (ops/fri_pallas.py, ops/spot_pallas.py):
+    # +29% measured (7,607 -> 9,796 proofs/s at batch 4096, docs/PERF.md);
+    # opt out with STARK_PALLAS=0 if the Mosaic toolchain misbehaves
+    os.environ.setdefault("STARK_PALLAS", "1")
     import jax
     import stark_verifier_tpu as sv
     sv.enable_compile_cache()

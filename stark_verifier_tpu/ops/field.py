@@ -444,9 +444,10 @@ def reduce_wide(w: jnp.ndarray, canonical: bool = True) -> jnp.ndarray:
     return _fold_cols(w, canonical=canonical)
 
 
-def _pallas_mul_enabled() -> bool:
-    """Opt-in fused Pallas multiply (STARK_PALLAS=1, TPU backend only).
+def pallas_enabled() -> bool:
+    """Opt-in Pallas kernels (STARK_PALLAS=1, TPU backend only).
 
+    Enables the fused whole-chain protocol kernels (ops/fri_pallas.py).
     The Mosaic toolchain pays a ~10-minute one-time warmup per process
     through the axon remote-compile tunnel (docs/PERF.md), so the default
     stays on the XLA path; long-running servers/benches can flip it on.
@@ -457,11 +458,24 @@ def _pallas_mul_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _pallas_mul_enabled() -> bool:
+    """Per-op fused mul swap (STARK_PALLAS=1 + STARK_PALLAS_MUL=1).
+
+    Separate switch from the fused protocol kernels: a per-op swap pays
+    limb-major transpose adapters on every call, which can cost more than
+    the VMEM fusion saves (the whole-chain kernels amortize one adapter
+    over ~13 multiplies instead)."""
+    import os
+    if os.environ.get("STARK_PALLAS_MUL", "0") != "1":
+        return False
+    return pallas_enabled()
+
+
 def mul_mod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a * b) mod p, canonical; inputs may be any values < 2^256.
 
     Fused path: the MXU column accumulator feeds the fold chain directly
-    (no intermediate 32-limb carry normalization).  STARK_PALLAS=1 swaps in
+    (no intermediate 32-limb carry normalization).  STARK_PALLAS_MUL=1 swaps in
     the VMEM-resident Pallas kernel (ops/field_pallas.py)."""
     if _pallas_mul_enabled():
         from . import field_pallas

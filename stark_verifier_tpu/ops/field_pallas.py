@@ -91,19 +91,35 @@ def _acc_mul_c(acc: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def _mul_mod_kernel(a_ref, b_ref, o_ref):
-    a = a_ref[:]                     # [16, T]
-    b = b_ref[:]
-    T = a.shape[1]
-
-    # schoolbook product columns (each limb product exact in uint32):
-    # row sums stay < 2^21
-    acc = jnp.zeros((33, T), jnp.uint32)
+def _mul_cols(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Schoolbook product columns of two [16, T] limb tiles -> [33, T]
+    (rows < 2^21, each 16x16-bit limb product exact in uint32)."""
+    acc = jnp.zeros((33, a.shape[1]), jnp.uint32)
     for i in range(16):
         prod = a[i][None, :] * b     # [16, T]
         acc = acc + _shift_rows(prod & MASK, i, 33)
         acc = acc + _shift_rows(prod >> 16, i + 1, 33)
+    return acc
 
+
+def _mul_cols_const(a: jnp.ndarray, bw) -> jnp.ndarray:
+    """Product columns of a [16, T] tile with a STATIC 16-limb constant
+    (tuple of python ints < 2^16); zero limbs are skipped at trace time."""
+    acc = jnp.zeros((33, a.shape[1]), jnp.uint32)
+    for i, c in enumerate(bw):
+        if c == 0:
+            continue
+        prod = a * jnp.uint32(c)     # [16, T] exact
+        acc = acc + _shift_rows(prod & MASK, i, 33)
+        acc = acc + _shift_rows(prod >> 16, i + 1, 33)
+    return acc
+
+
+def _fold_canon(acc: jnp.ndarray) -> jnp.ndarray:
+    """Reduce [33, T] product columns (rows < 2^25: a single product, or a
+    sum of up to 16 of them) to the canonical [16, T] residue -- limb-major
+    mirror of field._fold_cols."""
+    T = acc.shape[1]
     # fold 1: lo + C * hi           (rows < 2^23.2)
     f1 = _acc_mul_c(_shift_rows(acc[:16], 0, 20), acc[16:33])
     # fold 2: + C * top-4           (rows < 2^25.4)
@@ -125,7 +141,52 @@ def _mul_mod_kernel(a_ref, b_ref, o_ref):
     u17 = _shift_rows(v + cvec, 0, 17)
     vn = _carry_cols(v17)
     un = _carry_cols(u17)
-    o_ref[:] = jnp.where(un[16][None, :] > 0, un[:16], vn[:16])
+    return jnp.where(un[16][None, :] > 0, un[:16], vn[:16])
+
+
+def _canon_cols(v: jnp.ndarray) -> jnp.ndarray:
+    """[16, T] normalized limbs (any value < 2^256) -> canonical residue.
+    v >= p  <=>  v + C >= 2^256  (p = 2^256 - C): one carry pass + select."""
+    T = v.shape[1]
+    cvec = jnp.concatenate(
+        [jnp.full((1, T), np.uint32(c), jnp.uint32) for c in (_C0, _C1, _C2)]
+        + [jnp.zeros((13, T), jnp.uint32)], axis=0)
+    un = _carry_cols(_shift_rows(v + cvec, 0, 17))
+    return jnp.where(un[16][None, :] > 0, un[:16], v)
+
+
+_P16 = tuple(int(x) for x in fp.P_LIMBS)
+
+
+def _sub_canon(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a - b) mod p for canonical [16, T] tiles, canonical output.
+
+    t = a + ~b + 1 (17 rows): carry-out set  <=>  a >= b; on borrow add p
+    back (adding p mod 2^256 == subtracting C, and the 2^256 overflow drops).
+    """
+    T = a.shape[1]
+    # +1 enters as a row-0 concat, not .at[0].add (no scatters in Mosaic)
+    t = a + (jnp.uint32(MASK) - b) + _shift_rows(
+        jnp.ones((1, T), jnp.uint32), 0, 16)
+    tc = _carry_cols(_shift_rows(t, 0, 17))
+    r1 = tc[:16]
+    pvec = jnp.concatenate(
+        [jnp.full((1, T), np.uint32(c), jnp.uint32) for c in _P16], axis=0)
+    u = _carry_cols(_shift_rows(r1 + pvec, 0, 17))
+    return jnp.where(tc[16][None, :] > 0, r1, u[:16])
+
+
+def _sum_rows(v: jnp.ndarray) -> jnp.ndarray:
+    """Sum [r, T] rows -> [1, T].  Unrolled adds: Mosaic does not implement
+    reductions over unsigned integers (jnp.sum on uint32 fails to lower)."""
+    s = v[0]
+    for i in range(1, v.shape[0]):
+        s = s + v[i]
+    return s[None, :]
+
+
+def _mul_mod_kernel(a_ref, b_ref, o_ref):
+    o_ref[:] = _fold_canon(_mul_cols(a_ref[:], b_ref[:]))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

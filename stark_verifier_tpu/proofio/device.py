@@ -23,26 +23,17 @@ def _group_tree(g: BranchGroup) -> dict:
     }
 
 
-def _pad_witness(w: np.ndarray, max_depth: int) -> np.ndarray:
-    """[n, d, 8] -> [n, max_depth, 8] zero-padded (masked past d on device)."""
-    n, d, _ = w.shape
-    if d == max_depth:
-        return np.asarray(w)
-    out = np.zeros((n, max_depth, 8), dtype=np.uint32)
-    out[:, :d] = w
-    return out
-
-
 def proof_tree(p: ProofArrays) -> dict:
     """One proof -> pytree of numpy arrays (no leading batch axis).
 
-    FRI levels are stacked along a leading level axis with witness arrays
-    padded to the deepest level, so the verifier's level walk is a single
-    lax.scan body instead of an unrolled per-level graph.  Witness depths may
-    be ragged per branch (traced through to the masked Merkle walk); value
-    sizes must be uniform per group -- the statement family's constraint
-    algebra slices fixed trace-column layouts, and the reference's behavior
-    on wrong-size values is a panic (= reject), which mapping ragged-value
+    FRI levels are stacked along a leading level axis EXCEPT the witness
+    arrays, which stay per-level lists with their exact depths (each level's
+    Merkle walk scans its own depth; cross-level padding would waste ~20% of
+    all Blake2s compressions).  Witness depths may be ragged per branch
+    within a level (traced through to the masked Merkle walk); value sizes
+    must be uniform per group -- the statement family's constraint algebra
+    slices fixed trace-column layouts, and the reference's behavior on
+    wrong-size values is a panic (= reject), which mapping ragged-value
     proofs to a parse reject reproduces (merkle-layer raggedness itself is
     fully supported, see ops/merkle.py + wire.BranchGroup)."""
     lv = p.fri_levels
@@ -53,19 +44,19 @@ def proof_tree(p: ProofArrays) -> dict:
             raise WireFormatError(
                 "ragged value sizes do not fit the statement family's "
                 "fixed trace layout")
-    col_dmax = max(l.column.depth for l in lv)
-    poly_dmax = max(l.poly.depth for l in lv)
     fri = {
         "root2": np.stack([np.asarray(l.root2_words) for l in lv]),
         "col_value": np.stack([np.asarray(l.column.value_words) for l in lv]),
         "col_sibling": np.stack([np.asarray(l.column.sibling_words) for l in lv]),
-        "col_witness": np.stack([_pad_witness(np.asarray(l.column.witness_words),
-                                              col_dmax) for l in lv]),
+        # witnesses stay per-level (lists, NOT padded to the deepest level):
+        # each level's Merkle walk then scans exactly its own depth -- the
+        # cross-level padding was ~20% of all Blake2s compressions
+        # (docs/PERF.md omission profile)
+        "col_witness": [np.asarray(l.column.witness_words) for l in lv],
         "col_depth": np.stack([np.asarray(l.column.depths) for l in lv]),
         "poly_value": np.stack([np.asarray(l.poly.value_words) for l in lv]),
         "poly_sibling": np.stack([np.asarray(l.poly.sibling_words) for l in lv]),
-        "poly_witness": np.stack([_pad_witness(np.asarray(l.poly.witness_words),
-                                               poly_dmax) for l in lv]),
+        "poly_witness": [np.asarray(l.poly.witness_words) for l in lv],
         "poly_depth": np.stack([np.asarray(l.poly.depths) for l in lv]),
     }
     return {

@@ -66,16 +66,28 @@ def _fri_checks(l_root_words, fri, tables: StatementTables, cfg: StarkConfig):
     debug.check_bounds(ys, cfg.precision // 4 + 1, "fri column indices")
 
     # column branches verify against the proof's own embedded root2
-    # (merkle_tree.rs:30-33 trust quirk, SURVEY 2.2.10)
-    ok_col, _ = merkle.verify_branches(
-        root2, ys, fri["col_value"], fri["col_sibling"], fri["col_witness"],
-        fri["col_depth"])
+    # (merkle_tree.rs:30-33 trust quirk, SURVEY 2.2.10); each level's walk
+    # runs as its own scan of EXACTLY its witness depth (witnesses are
+    # per-level lists -- padding all levels to the deepest wasted ~20% of
+    # the verifier's Blake2s compressions, docs/PERF.md)
     i4 = jnp.arange(4, dtype=jnp.uint32)
     poly_pos = (ys[..., None] + mod_b[..., None] * i4).reshape(
         *ys.shape[:-1], q * 4)
-    ok_poly, _ = merkle.verify_branches(
-        prev, poly_pos, fri["poly_value"], fri["poly_sibling"],
-        fri["poly_witness"], fri["poly_depth"])
+    ok_col_l, ok_poly_l = [], []
+    for l in range(len(fri["col_witness"])):
+        okc, _ = merkle.verify_branches(
+            root2[..., l, :], ys[..., l, :], fri["col_value"][..., l, :, :],
+            fri["col_sibling"][..., l, :, :], fri["col_witness"][l],
+            fri["col_depth"][..., l, :])
+        okp, _ = merkle.verify_branches(
+            prev[..., l, :], poly_pos[..., l, :],
+            fri["poly_value"][..., l, :, :],
+            fri["poly_sibling"][..., l, :, :], fri["poly_witness"][l],
+            fri["poly_depth"][..., l, :])
+        ok_col_l.append(okc)
+        ok_poly_l.append(okp)
+    ok_col = jnp.stack(ok_col_l, axis=-2)              # [..., L, q]
+    ok_poly = jnp.stack(ok_poly_l, axis=-2)            # [..., L, 4q]
 
     # x-coords are quartic_rou[j] * rou_level^y with rou_level = G2^(4^l)
     # (stale quartic roots, main.rs:73-80): every node is a known power of G2,
@@ -99,8 +111,16 @@ def _fri_checks(l_root_words, fri, tables: StatementTables, cfg: StarkConfig):
     # canonical interpolated value compared to the RAW column value
     # (main.rs:84-86): a non-canonical committed value can never equal a
     # canonical lhs, exactly like the reference's unreduced BigInt equality
-    lhs = quartic.eval4_inv_free(
-        nodes, x1cb_inv, jnp.asarray(tables.quartic_winv), rows, special_x)
+    if F.pallas_enabled():
+        # fused whole-chain kernel: all ~13 multiplies of the barycentric
+        # evaluation stay in VMEM (ops/fri_pallas.py)
+        from ..ops import fri_pallas
+        lhs = fri_pallas.eval4_rows(
+            nodes, x1cb_inv, np.asarray(tables.quartic_winv), rows,
+            special_x)
+    else:
+        lhs = quartic.eval4_inv_free(
+            nodes, x1cb_inv, jnp.asarray(tables.quartic_winv), rows, special_x)
     col_vals_raw = F.words_be_to_limbs(fri["col_value"])
     ok_val = jnp.all(jnp.all(lhs == col_vals_raw, axis=-1), axis=-1)
     ok_merkle = jnp.logical_and(jnp.all(ok_col, axis=-1),
@@ -212,11 +232,11 @@ def verify_mimc_proof(tree, inp, output_limbs, tables: StatementTables,
     # trace values: 96-byte leaves = P(x) || D(x) || B(x)  (main.rs:163-174)
     mv = tree["main"]["value"]                                  # [..., 160, 24]
     mv = mv.reshape(*mv.shape[:-2], cfg.spot_checks, 2, 3, 8)
-    p_of_x = F.canon(F.words_be_to_limbs(mv[..., 0, 0, :]))     # [..., 80, 16]
-    p_of_g1x = F.canon(F.words_be_to_limbs(mv[..., 1, 0, :]))
-    d_of_x = F.canon(F.words_be_to_limbs(mv[..., 0, 1, :]))
-    b_of_x = F.canon(F.words_be_to_limbs(mv[..., 0, 2, :]))
-    l_of_x = F.canon(F.words_be_to_limbs(tree["lincomb"]["value"]))
+    p_raw = F.words_be_to_limbs(mv[..., 0, 0, :])               # [..., 80, 16]
+    pg1_raw = F.words_be_to_limbs(mv[..., 1, 0, :])
+    d_raw = F.words_be_to_limbs(mv[..., 0, 1, :])
+    b_raw = F.words_be_to_limbs(mv[..., 0, 2, :])
+    l_raw = F.words_be_to_limbs(tree["lincomb"]["value"])
 
     # x = G2^pos and x^steps = G2^(steps*pos mod precision): gathers from the
     # master power table replace square-and-multiply (main.rs:164-166)
@@ -243,17 +263,8 @@ def verify_mimc_proof(tree, inp, output_limbs, tables: StatementTables,
             g2t, (positions * jnp.uint32(cfg.skips2)) & mask, axis=0)
         k_of_x = F.eval_poly(minipoly, x_sk2)
 
-    # transition: P(g1*x) - P(x)^3 - K(x) - Z(x)*D(x) == 0  (main.rs:179-182)
-    # -- P^2*P + Z*D + K accumulate through ONE fold (field.mul_sum_mod) into
-    # a canonical right-hand side, so the check is a direct limb equality
-    # against the (canonical) P(g1*x)
-    p_sq = F.sqr_mod(p_of_x)
-    rhs_t = F.mul_sum_mod([(p_sq, p_of_x), (z, d_of_x)], extra=[k_of_x])
-    t_ok = jnp.all(p_of_g1x == rhs_t, axis=-1)
-    checks.append(jnp.all(t_ok, axis=-1))
-
-    # boundary: P(x) - B(x)*Z2(x) - I(x) == 0  (main.rs:183-187)
-    # I(x) interpolates (1, inp), (last, output); host-constant scaffolding,
+    # boundary interpolant I(x) coefficients (main.rs:183-187): I(x)
+    # interpolates (1, inp), (last, output); host-constant scaffolding,
     # device part only where the output enters (utils.rs:246-274)
     e0 = (1 - tables.last_step_position) % m
     e1 = (tables.last_step_position - 1) % m
@@ -273,27 +284,55 @@ def verify_mimc_proof(tree, inp, output_limbs, tables: StatementTables,
             F.mul_mod(iy0, F.const((-tables.last_step_position) % m)),
             F.mul_mod(F.const(m - 1), iy1))
         i_c1 = F.add_mod(iy0, iy1)
-    # Z2(x) = (x-1)(x-last) -- position-indexed host table (main.rs:185);
-    # B*Z2 + I_1*x + I_0 accumulate through one fold -> direct equality
+    # Z2(x) = (x-1)(x-last) -- position-indexed host table (main.rs:185)
     z2_at_x = jnp.take(jnp.asarray(tables.z2_table), positions, axis=0)
-    rhs_b = F.mul_sum_mod([(b_of_x, z2_at_x), (i_c1[..., None, :], x)],
-                          extra=[jnp.broadcast_to(i_c0[..., None, :], x.shape)])
-    b_ok = jnp.all(p_of_x == rhs_b, axis=-1)
-    checks.append(jnp.all(b_ok, axis=-1))
 
-    # lincomb: L(x) = D + k1*P + k2*P*x^steps + k3*B + k4*B*x^steps
-    # with raw unreduced k's (main.rs:188-192; SURVEY 2.2.3) -- all four
-    # k-products plus D accumulate through one fold -> direct equality
-    p_xs = F.mul_mod_lazy(p_of_x, x_to_steps)
-    b_xs = F.mul_mod_lazy(b_of_x, x_to_steps)
-    rhs_l = F.mul_sum_mod(
-        [(ks[0][..., None, :], p_of_x),
-         (ks[1][..., None, :], p_xs),
-         (ks[2][..., None, :], b_of_x),
-         (ks[3][..., None, :], b_xs)],
-        extra=[d_of_x])
-    lc_ok = jnp.all(l_of_x == rhs_l, axis=-1)
-    checks.append(jnp.all(lc_ok, axis=-1))
+    # the three constraint families (main.rs:179-192), each a single-fold
+    # multi-term accumulation compared limb-exact against the canonicalized
+    # committed value:
+    #   transition  P(g1 x) == P^2*P + Z*D + K
+    #   boundary    P(x)    == B*Z2 + I1*x + I0
+    #   lincomb     L(x)    == k1*P + k2*P*x^s + k3*B + k4*B*x^s + D
+    # (raw unreduced k's -- main.rs:188-192; SURVEY 2.2.3)
+    if F.pallas_enabled():
+        # fused whole-chain kernel: all ~11 multiplies stay in VMEM
+        # (ops/spot_pallas.py)
+        from ..ops import spot_pallas
+        raw5 = jnp.stack([p_raw, pg1_raw, d_raw, b_raw, l_raw], axis=-2)
+        tab5 = jnp.stack([x, x_to_steps, z, z2_at_x, k_of_x], axis=-2)
+        ks4 = jnp.stack(ks, axis=-2)                   # [..., 4, 16]
+        oks = spot_pallas.spot_checks(
+            raw5, tab5, ks4[..., None, :, :], i_c1[..., None, :],
+            i_c0[..., None, :])                        # [..., 80, 3]
+        checks.append(jnp.all(jnp.all(oks, axis=-1), axis=-1))
+    else:
+        p_of_x = F.canon(p_raw)
+        p_of_g1x = F.canon(pg1_raw)
+        d_of_x = F.canon(d_raw)
+        b_of_x = F.canon(b_raw)
+        l_of_x = F.canon(l_raw)
+
+        p_sq = F.sqr_mod(p_of_x)
+        rhs_t = F.mul_sum_mod([(p_sq, p_of_x), (z, d_of_x)], extra=[k_of_x])
+        t_ok = jnp.all(p_of_g1x == rhs_t, axis=-1)
+        checks.append(jnp.all(t_ok, axis=-1))
+
+        rhs_b = F.mul_sum_mod(
+            [(b_of_x, z2_at_x), (i_c1[..., None, :], x)],
+            extra=[jnp.broadcast_to(i_c0[..., None, :], x.shape)])
+        b_ok = jnp.all(p_of_x == rhs_b, axis=-1)
+        checks.append(jnp.all(b_ok, axis=-1))
+
+        p_xs = F.mul_mod_lazy(p_of_x, x_to_steps)
+        b_xs = F.mul_mod_lazy(b_of_x, x_to_steps)
+        rhs_l = F.mul_sum_mod(
+            [(ks[0][..., None, :], p_of_x),
+             (ks[1][..., None, :], p_xs),
+             (ks[2][..., None, :], b_of_x),
+             (ks[3][..., None, :], b_xs)],
+            extra=[d_of_x])
+        lc_ok = jnp.all(l_of_x == rhs_l, axis=-1)
+        checks.append(jnp.all(lc_ok, axis=-1))
 
     ok = checks[0]
     for c in checks[1:]:

@@ -59,26 +59,27 @@ def main():
     @jax.jit
     def hashes_only(tree):
         """All Merkle groups + PRGs, no field math."""
-        oks = []
         fri = tree["fri"]
-        xs = {k: jnp.moveaxis(fri[k], lead_n, 0) for k in
-              ("root2", "col_value", "col_sibling", "col_witness", "col_depth",
-               "poly_value", "poly_sibling", "poly_witness", "poly_depth")}
-        xs["modulus"] = jnp.asarray(tables.level_moduli_np)
-
-        def level(root, x):
-            ys = prg.pseudorandom_indices(x["root2"], 40, x["modulus"], 8)
-            okc, _ = merkle.verify_branches(x["root2"], ys, x["col_value"],
-                                            x["col_sibling"], x["col_witness"],
-                                            x["col_depth"])
-            i4 = jnp.arange(4, dtype=jnp.uint32)
-            pp = (ys[..., None] + x["modulus"] * i4).reshape(*ys.shape[:-1], 160)
-            okp, _ = merkle.verify_branches(root, pp, x["poly_value"],
-                                            x["poly_sibling"], x["poly_witness"],
-                                            x["poly_depth"])
-            return x["root2"], jnp.all(okc, -1) & jnp.all(okp, -1)
-
-        _, oks_l = lax.scan(level, tree["l_merkle_root"], xs)
+        moduli = np.asarray(tables.level_moduli_np)
+        root2 = fri["root2"]
+        prev = jnp.concatenate([tree["l_merkle_root"][..., None, :],
+                                root2[..., :-1, :]], axis=-2)
+        ys = prg.pseudorandom_indices(root2, 40, jnp.asarray(moduli)[:, None], 8)
+        i4 = jnp.arange(4, dtype=jnp.uint32)
+        pp = (ys[..., None] + jnp.asarray(moduli)[:, None, None] * i4).reshape(
+            *ys.shape[:-1], 160)
+        oks_l = []
+        for l in range(len(fri["col_witness"])):
+            okc, _ = merkle.verify_branches(
+                root2[..., l, :], ys[..., l, :], fri["col_value"][..., l, :, :],
+                fri["col_sibling"][..., l, :, :], fri["col_witness"][l],
+                fri["col_depth"][..., l, :])
+            okp, _ = merkle.verify_branches(
+                prev[..., l, :], pp[..., l, :], fri["poly_value"][..., l, :, :],
+                fri["poly_sibling"][..., l, :, :], fri["poly_witness"][l],
+                fri["poly_depth"][..., l, :])
+            oks_l.append(jnp.all(okc, -1) & jnp.all(okp, -1))
+        oks_l = jnp.stack(oks_l, axis=0)
         positions = prg.pseudorandom_indices(tree["l_merkle_root"], 80, 65536, 8)
         aug = jnp.stack([positions, (positions + 8) % 65536], -1).reshape(
             *positions.shape[:-1], 160)
