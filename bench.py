@@ -38,12 +38,17 @@ def main():
     tree = device.proof_tree(wire.parse_proof_fast(proof_bytes))
     tree = device.to_device(device.replicate_proof(tree, batch))
 
+    # STARK_SHARED_MERKLE=0 ablates the shared-path Merkle walk (dedup of
+    # the converging upper-tree levels, ops/merkle.py) back to the
+    # independent lockstep walk
+    shared = os.environ.get("STARK_SHARED_MERKLE", "1") == "1"
     if batch > 1024 and batch % 1024 == 0:
         # beyond the ~1024 working-set sweet spot, chunk inside the graph
         # (docs/PERF.md batch-scaling note)
-        fn, _ = V.make_chunked_verifier(StarkConfig(), chunk=1024)
+        fn, _ = V.make_chunked_verifier(StarkConfig(), chunk=1024,
+                                        shared_merkle=shared)
     else:
-        fn, _ = V.make_verifier(StarkConfig())
+        fn, _ = V.make_verifier(StarkConfig(), shared_merkle=shared)
     verdicts = np.asarray(fn(tree))  # compile + warm
     assert verdicts.all(), "golden proof rejected -- refusing to bench"
 

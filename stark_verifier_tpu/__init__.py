@@ -41,10 +41,12 @@ def verify_proof_bytes(proof_bytes: bytes, inp: int = 3,
 
     cfg = StarkConfig(log_steps=log_steps)
     try:
-        tree = device.to_device(device.proof_tree(wire.parse_proof(proof_bytes)))
+        host_tree = device.proof_tree(wire.parse_proof(proof_bytes))
     except wire.WireFormatError:
         return False
-    fn, _ = V.make_verifier(cfg, inp=inp)
+    tree = device.to_device(host_tree)
+    fn, _ = V.make_verifier(cfg, inp=inp,
+                            shared_merkle=device.is_rectangular(host_tree))
     return bool(np.asarray(fn(tree)))
 
 
@@ -74,7 +76,6 @@ def verify_mimc(inp, num_steps, round_constants, output, proofs,
                       num_constants=len(round_constants), strict=strict)
     if cfg.num_steps != num_steps:
         raise ValueError("num_steps must be a power of two")
-    fn, _ = MimcStatement(cfg).make_general_verifier()
 
     trees, ok_parse = [], []
     golden_shape = None
@@ -91,6 +92,8 @@ def verify_mimc(inp, num_steps, round_constants, output, proofs,
         out = np.zeros(len(blobs), dtype=bool)
         return bool(out[0]) if single else out
     trees = [t if t is not None else golden_shape for t in trees]
+    shared = all(device.is_rectangular(t) for t in trees)
+    fn, _ = MimcStatement(cfg).make_general_verifier(shared_merkle=shared)
     batch = device.to_device(device.stack_proofs(trees))
 
     verdicts = np.asarray(fn(

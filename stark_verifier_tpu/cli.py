@@ -64,14 +64,15 @@ def _prepare(args, times: "PhaseTimes"):
         except wire.WireFormatError as e:
             print(f"malformed proof: {e}", file=sys.stderr)
             sys.exit(2)
-        tree = device.proof_tree(parsed)
+        tree = parsed_tree = device.proof_tree(parsed)
         if args.batch > 1:
             tree = device.replicate_proof(tree, args.batch)
     with times.phase("h2d"):
         tree = device.to_device(tree)
         jax.block_until_ready(tree)
 
-    fn, _tables = V.make_verifier(cfg, inp=args.input)
+    fn, _tables = V.make_verifier(cfg, inp=args.input,
+                                  shared_merkle=device.is_rectangular(parsed_tree))
     return jax, fn, tree
 
 

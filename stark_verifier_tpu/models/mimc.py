@@ -34,10 +34,11 @@ class MimcStatement(StatementFamily):
         return mimc_ops.mimc(F.const(inp), self._cfg.num_steps,
                              self.round_constants())
 
-    def make_verifier(self, inp: int = 3):
-        return V.make_verifier(self._cfg, inp=inp)
+    def make_verifier(self, inp: int = 3, shared_merkle: bool = True):
+        return V.make_verifier(self._cfg, inp=inp,
+                               shared_merkle=shared_merkle)
 
-    def make_general_verifier(self):
+    def make_general_verifier(self, shared_merkle: bool = True):
         """Runtime-parameter verifier (cdylib boundary, lib.rs:99): see
         protocol.verify.make_general_verifier."""
-        return V.make_general_verifier(self._cfg)
+        return V.make_general_verifier(self._cfg, shared_merkle=shared_merkle)

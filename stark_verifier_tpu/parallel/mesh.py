@@ -83,14 +83,15 @@ def shard_batch_per_host(local_tree, mesh: Mesh, axis_name: str = "data"):
 
 
 def make_sharded_verifier(mesh: Mesh, cfg: StarkConfig | None = None,
-                          inp: int = 3, axis_name: str = "data"):
+                          inp: int = 3, axis_name: str = "data",
+                          shared_merkle: bool = True):
     """Jitted batch verifier whose inputs/outputs are sharded over the mesh.
 
     Returns verify_fn(tree) -> (verdicts [batch] bool, all_ok scalar).  The
     scalar AND forces the cross-chip reduction collective.
     """
     cfg = cfg or StarkConfig()
-    inner, _tables = V.make_verifier(cfg, inp)
+    inner, _tables = V.make_verifier(cfg, inp, shared_merkle=shared_merkle)
     out_shardings = (NamedSharding(mesh, P(axis_name)),
                      NamedSharding(mesh, P()))
 
@@ -106,8 +107,9 @@ def verify_batch(proof_trees: list, mesh: Mesh | None = None,
     """Convenience: stack host proof trees, shard, verify; returns verdicts."""
     mesh = mesh or make_mesh()
     batch = pdevice.stack_proofs(proof_trees)
+    shared = all(pdevice.is_rectangular(t) for t in proof_trees)
     batch = shard_batch(batch, mesh)
-    fn = make_sharded_verifier(mesh, cfg, inp)
+    fn = make_sharded_verifier(mesh, cfg, inp, shared_merkle=shared)
     verdicts, _ = fn(batch)
     return np.asarray(verdicts)
 
@@ -134,7 +136,15 @@ def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = Non
         chunk = 64 * mesh.devices.size
     d = mesh.devices.size
     chunk = -(-chunk // d) * d       # round up to a whole number per device
-    fn = make_sharded_verifier(mesh, cfg, inp)
+    # one compiled verifier per Merkle-walk flavor: rectangular chunks take
+    # the shared-path walk, chunks containing a ragged proof the masked walk
+    fns = {}
+
+    def fn_for(rect: bool):
+        if rect not in fns:
+            fns[rect] = make_sharded_verifier(mesh, cfg, inp,
+                                              shared_merkle=rect)
+        return fns[rect]
 
     buf, idxs, pad_tree = [], [], None
     chunk_id = 0
@@ -149,10 +159,11 @@ def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = Non
             chunk_id += 1
             return out
         n = len(buf)
+        rect = all(pdevice.is_rectangular(t) for t in buf)
         while len(buf) < chunk:
             buf.append(pad_tree)
         batch = shard_batch(pdevice.stack_proofs(buf), mesh)
-        verdicts, _ = fn(batch)
+        verdicts, _ = fn_for(rect)(batch)
         verdicts = np.asarray(verdicts)[:n]
         out = list(zip(idxs, (bool(v) for v in verdicts)))
         if manifest is not None:

@@ -69,6 +69,26 @@ def proof_tree(p: ProofArrays) -> dict:
     }
 
 
+def is_rectangular(tree: dict) -> bool:
+    """True when every branch group's depths equal its witness array depth.
+
+    Rectangular proofs (proof.bin and everything the bundled prover emits)
+    take the shared-path Merkle walk (ops/merkle.verify_groups_shared);
+    ragged proofs (per-branch witness sizes, deserializer.rs:104-119) route
+    to the masked lockstep walk.  Works on single proofs and stacked batches.
+    """
+    def rect(depth, wit):
+        return bool((np.asarray(depth) == wit.shape[-2]).all())
+
+    fri = tree["fri"]
+    return (rect(tree["main"]["depth"], tree["main"]["witness"])
+            and rect(tree["lincomb"]["depth"], tree["lincomb"]["witness"])
+            and all(rect(fri["col_depth"][..., l, :], w)
+                    for l, w in enumerate(fri["col_witness"]))
+            and all(rect(fri["poly_depth"][..., l, :], w)
+                    for l, w in enumerate(fri["poly_witness"])))
+
+
 def stack_proofs(trees: list) -> dict:
     """Stack single-proof trees into a batch tree with leading axis."""
     import jax

@@ -39,7 +39,15 @@ def _verify_group(root_words, indices, group):
     return jnp.all(ok, axis=-1)
 
 
-def _fri_checks(l_root_words, fri, tables: StatementTables, cfg: StarkConfig):
+def _as_shared_group(root_words, indices, group, witness=None, depth=None):
+    return {"root": root_words, "indices": indices, "value": group["value"],
+            "sibling": group["sibling"],
+            "witness": group["witness"] if witness is None else witness,
+            "depth": group["depth"] if depth is None else depth}
+
+
+def _fri_checks(l_root_words, fri, tables: StatementTables, cfg: StarkConfig,
+                shared_merkle: bool = True):
     """Complete FRI low-degree check, inversion-free.
 
     Returns (ok [...] bool over all levels, root2 [..., L, 8]).
@@ -73,21 +81,45 @@ def _fri_checks(l_root_words, fri, tables: StatementTables, cfg: StarkConfig):
     i4 = jnp.arange(4, dtype=jnp.uint32)
     poly_pos = (ys[..., None] + mod_b[..., None] * i4).reshape(
         *ys.shape[:-1], q * 4)
-    ok_col_l, ok_poly_l = [], []
-    for l in range(len(fri["col_witness"])):
-        okc, _ = merkle.verify_branches(
-            root2[..., l, :], ys[..., l, :], fri["col_value"][..., l, :, :],
-            fri["col_sibling"][..., l, :, :], fri["col_witness"][l],
-            fri["col_depth"][..., l, :])
-        okp, _ = merkle.verify_branches(
-            prev[..., l, :], poly_pos[..., l, :],
-            fri["poly_value"][..., l, :, :],
-            fri["poly_sibling"][..., l, :, :], fri["poly_witness"][l],
-            fri["poly_depth"][..., l, :])
-        ok_col_l.append(okc)
-        ok_poly_l.append(okp)
-    ok_col = jnp.stack(ok_col_l, axis=-2)              # [..., L, q]
-    ok_poly = jnp.stack(ok_poly_l, axis=-2)            # [..., L, 4q]
+    nlv = len(fri["col_witness"])
+    if shared_merkle:
+        # shared-path walks: the converging upper-tree levels of all 2L
+        # groups dedup to one compression per distinct node, stacked into
+        # one Blake2s call per tree level (ops/merkle.py)
+        groups = []
+        for l in range(nlv):
+            groups.append({
+                "root": root2[..., l, :], "indices": ys[..., l, :],
+                "value": fri["col_value"][..., l, :, :],
+                "sibling": fri["col_sibling"][..., l, :, :],
+                "witness": fri["col_witness"][l],
+                "depth": fri["col_depth"][..., l, :]})
+            groups.append({
+                "root": prev[..., l, :], "indices": poly_pos[..., l, :],
+                "value": fri["poly_value"][..., l, :, :],
+                "sibling": fri["poly_sibling"][..., l, :, :],
+                "witness": fri["poly_witness"][l],
+                "depth": fri["poly_depth"][..., l, :]})
+        oks = merkle.verify_groups_shared(groups)
+        ok_merkle = jnp.stack(
+            [jnp.logical_and(oks[2 * l], oks[2 * l + 1]) for l in range(nlv)],
+            axis=-1)                                   # [..., L]
+    else:
+        ok_col_l, ok_poly_l = [], []
+        for l in range(nlv):
+            okc, _ = merkle.verify_branches(
+                root2[..., l, :], ys[..., l, :], fri["col_value"][..., l, :, :],
+                fri["col_sibling"][..., l, :, :], fri["col_witness"][l],
+                fri["col_depth"][..., l, :])
+            okp, _ = merkle.verify_branches(
+                prev[..., l, :], poly_pos[..., l, :],
+                fri["poly_value"][..., l, :, :],
+                fri["poly_sibling"][..., l, :, :], fri["poly_witness"][l],
+                fri["poly_depth"][..., l, :])
+            ok_col_l.append(jnp.all(okc, axis=-1))
+            ok_poly_l.append(jnp.all(okp, axis=-1))
+        ok_merkle = jnp.logical_and(jnp.stack(ok_col_l, axis=-1),
+                                    jnp.stack(ok_poly_l, axis=-1))  # [..., L]
 
     # x-coords are quartic_rou[j] * rou_level^y with rou_level = G2^(4^l)
     # (stale quartic roots, main.rs:73-80): every node is a known power of G2,
@@ -123,8 +155,6 @@ def _fri_checks(l_root_words, fri, tables: StatementTables, cfg: StarkConfig):
             nodes, x1cb_inv, jnp.asarray(tables.quartic_winv), rows, special_x)
     col_vals_raw = F.words_be_to_limbs(fri["col_value"])
     ok_val = jnp.all(jnp.all(lhs == col_vals_raw, axis=-1), axis=-1)
-    ok_merkle = jnp.logical_and(jnp.all(ok_col, axis=-1),
-                                jnp.all(ok_poly, axis=-1))   # [..., L]
     ok = jnp.all(jnp.logical_and(ok_merkle, ok_val), axis=-1)
     return ok, root2
 
@@ -172,7 +202,8 @@ def points_direct_check(points_words, tables: StatementTables,
 
 
 def verify_low_degree_proof(l_root_words, fri, tables: StatementTables,
-                            cfg: StarkConfig, points_words=None):
+                            cfg: StarkConfig, points_words=None,
+                            shared_merkle: bool = True):
     """Standalone FRI low-degree check (reference: src/main.rs:31-97).
 
     fri: the stacked level arrays from proofio.device.proof_tree.  All levels
@@ -181,7 +212,7 @@ def verify_low_degree_proof(l_root_words, fri, tables: StatementTables,
     mode -- main.rs:94 TODO; strict mode closes the TODO completely: it binds
     POINTS to the last committed root AND runs the real low-degree test.
     """
-    ok, root2 = _fri_checks(l_root_words, fri, tables, cfg)
+    ok, root2 = _fri_checks(l_root_words, fri, tables, cfg, shared_merkle)
     if cfg.strict and points_words is not None:
         ok = jnp.logical_and(
             ok, points_root_binding(points_words, root2[..., -1, :]))
@@ -190,7 +221,8 @@ def verify_low_degree_proof(l_root_words, fri, tables: StatementTables,
 
 
 def verify_mimc_proof(tree, inp, output_limbs, tables: StatementTables,
-                      cfg: StarkConfig, constants_limbs=None):
+                      cfg: StarkConfig, constants_limbs=None,
+                      shared_merkle: bool = True):
     """Full proof check; mirrors verify_mimc_proof (main.rs:99-197 and the
     cdylib boundary lib.rs:99).
 
@@ -208,7 +240,8 @@ def verify_mimc_proof(tree, inp, output_limbs, tables: StatementTables,
 
     # FRI low-degree proof over the linear-combination tree (main.rs:127)
     checks.append(verify_low_degree_proof(
-        tree["l_merkle_root"], tree["fri"], tables, cfg, tree.get("points")))
+        tree["l_merkle_root"], tree["fri"], tables, cfg, tree.get("points"),
+        shared_merkle))
 
     # k1..k4 = Blake2s(merkle_root || i), raw 256-bit BE ints (main.rs:131-146)
     mroot = tree["merkle_root"]
@@ -225,9 +258,16 @@ def verify_mimc_proof(tree, inp, output_limbs, tables: StatementTables,
         axis=-1)
     augmented = aug.reshape(*aug.shape[:-2], cfg.spot_checks * 2)  # interleaved
 
-    checks.append(_verify_group(mroot, augmented, tree["main"]))
-    checks.append(_verify_group(tree["l_merkle_root"], positions,
-                                tree["lincomb"]))
+    if shared_merkle:
+        oks = merkle.verify_groups_shared([
+            _as_shared_group(mroot, augmented, tree["main"]),
+            _as_shared_group(tree["l_merkle_root"], positions,
+                             tree["lincomb"])])
+        checks.extend(oks)
+    else:
+        checks.append(_verify_group(mroot, augmented, tree["main"]))
+        checks.append(_verify_group(tree["l_merkle_root"], positions,
+                                    tree["lincomb"]))
 
     # trace values: 96-byte leaves = P(x) || D(x) || B(x)  (main.rs:163-174)
     mv = tree["main"]["value"]                                  # [..., 160, 24]
@@ -340,7 +380,8 @@ def verify_mimc_proof(tree, inp, output_limbs, tables: StatementTables,
     return ok
 
 
-def make_verifier(cfg: StarkConfig | None = None, inp: int = 3):
+def make_verifier(cfg: StarkConfig | None = None, inp: int = 3,
+                  shared_merkle: bool = True):
     """Build the jitted end-to-end verifier for a statement family.
 
     Returns (verify_fn, tables) where verify_fn(tree) -> bool[...] checks
@@ -361,13 +402,14 @@ def make_verifier(cfg: StarkConfig | None = None, inp: int = 3):
     def verify_fn(tree):
         lead = tree["merkle_root"].shape[:-1]
         output = jnp.broadcast_to(jnp.asarray(out_limbs), lead + (fp.NLIMBS,))
-        return verify_mimc_proof(tree, inp, output, tables, cfg)
+        return verify_mimc_proof(tree, inp, output, tables, cfg,
+                                 shared_merkle=shared_merkle)
 
     return debug.checked(verify_fn), tables
 
 
 def make_chunked_verifier(cfg: StarkConfig | None = None, inp: int = 3,
-                          chunk: int = 1024):
+                          chunk: int = 1024, shared_merkle: bool = True):
     """Batched verifier that processes the batch in fixed-size chunks INSIDE
     one compiled graph (lax.map over [batch/chunk, chunk, ...]).
 
@@ -396,14 +438,16 @@ def make_chunked_verifier(cfg: StarkConfig | None = None, inp: int = 3,
         def body(t):
             output = jnp.broadcast_to(jnp.asarray(out_limbs),
                                       (chunk, fp.NLIMBS))
-            return verify_mimc_proof(t, inp, output, tables, cfg)
+            return verify_mimc_proof(t, inp, output, tables, cfg,
+                                     shared_merkle=shared_merkle)
 
         return lax.map(body, ctree).reshape(batch)
 
     return debug.checked(verify_fn), tables
 
 
-def make_general_verifier(cfg: StarkConfig | None = None):
+def make_general_verifier(cfg: StarkConfig | None = None,
+                          shared_merkle: bool = True):
     """The cdylib-shaped entry point (reference: src/lib.rs:99): every
     statement parameter except the modulus is a RUNTIME value.
 
@@ -427,6 +471,7 @@ def make_general_verifier(cfg: StarkConfig | None = None):
         inp_b = jnp.broadcast_to(inp_limbs, lead + (fp.NLIMBS,))
         out_b = jnp.broadcast_to(output_limbs, lead + (fp.NLIMBS,))
         return verify_mimc_proof(tree, inp_b, out_b, tables, cfg,
-                                 constants_limbs=constants_limbs)
+                                 constants_limbs=constants_limbs,
+                                 shared_merkle=shared_merkle)
 
     return debug.checked(verify_fn), tables
