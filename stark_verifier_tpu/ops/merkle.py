@@ -24,6 +24,8 @@ aborting.
 
 from __future__ import annotations
 
+import os as _os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -125,10 +127,21 @@ verify_branches_jit = jax.jit(verify_branches, static_argnames=("depth",))
 # leaves) the structural bound alone removes ~45% of all Blake2s compressions.
 #
 # verify_groups_shared() walks each group bottom-up at full width only while
-# the level can still hold n distinct nodes, then switches to a compacted
-# "slot" representation -- one lane per distinct node -- whose width halves
-# every level.  Accept/reject equivalence with the independent walks is kept
-# by explicit equality checks wherever a branch's own data stops being used:
+# the level can still hold n distinct nodes, then switches to a DENSE node
+# representation: the start indices 2^(w+2)+i occupy one aligned power-of-two
+# interval, so after t halvings the live keys span exactly
+# [2^(w+2-t), 2^(w+2-t) + 2^(w+1-t)) -- a node's slot is (key - base), pure
+# arithmetic, and the children of dense slot o are slots 2o and 2o+1 of the
+# level below.  No sorting, compaction, scatter, or gather anywhere: TPU
+# sorts cost more than all the hashing they save (measured 4.6x end-to-end
+# in the first cut), and even data-dependent row gathers for a per-slot
+# winner election cost ~4x the saved compressions (270 ms vs the 75 ms
+# independent walk at batch 1024).  Every data-dependent placement is
+# instead a masked broadcast-compare-reduce -- dense per-slot values are
+# masked MINs over branches, and "all branches at a slot agree" is
+# min == max per word -- which XLA fuses into streaming reductions.
+# Accept/reject equivalence with the independent walks is kept by explicit
+# equality checks wherever a branch's own data stops being used:
 #
 #   * two branches that reached the same node by the switchover must agree on
 #     the running hash (state-equality check at tail entry);
@@ -149,24 +162,13 @@ verify_branches_jit = jax.jit(verify_branches, static_argnames=("depth",))
 # compression call, so the whole verifier adds only max-depth extra Blake2s
 # instantiations.
 
-_SENT = np.uint32(0xFFFFFFFF)
-
-
 def _flog2(n: int) -> int:
     return n.bit_length() - 1
 
 
-def _seg_heads(keys: jnp.ndarray) -> jnp.ndarray:
-    """Per-lane flag: first lane of a run of equal (sorted) keys."""
-    first = jnp.ones(keys.shape[:-1] + (1,), bool)
-    return jnp.concatenate([first, keys[..., 1:] != keys[..., :-1]], axis=-1)
-
-
-def _seg_rep(heads: jnp.ndarray) -> jnp.ndarray:
-    """Position of each lane's segment head (running max of head positions)."""
-    n = heads.shape[-1]
-    pos = jnp.where(heads, jnp.arange(n, dtype=jnp.int32), jnp.int32(0))
-    return lax.associative_scan(jnp.maximum, pos, axis=pos.ndim - 1)
+# dedup the top (_TAIL_CAP + 1) tree levels; see the t0 comment in
+# _shared_bottom for the cost model (tunable for re-sweeps on new hardware)
+_TAIL_CAP = int(_os.environ.get("STARK_SHARED_TAIL", "4"))
 
 
 def _rows(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -178,8 +180,27 @@ def _eq8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(a == b, axis=-1)
 
 
+def _dense_agree(vals: jnp.ndarray, o: jnp.ndarray, width: int):
+    """Place per-branch rows into dense slots, requiring agreement.
+
+    vals [..., n, 8], o [..., n] slot of each branch (in [0, width)).
+    Returns (dense [..., width, 8] = masked min over the branches at each
+    slot, occupied [..., width], agree [...] = every occupied slot's
+    branches are word-identical, i.e. masked min == masked max).  Pure
+    broadcast-compare-reduce: no scatter/gather (see module comment).
+    """
+    slots = jnp.arange(width, dtype=jnp.int32)
+    m = (o[..., None] == slots)[..., None]          # [..., n, width, 1]
+    v = vals[..., None, :]                          # [..., n, 1, 8]
+    lo = jnp.min(jnp.where(m, v, jnp.uint32(0xFFFFFFFF)), axis=-3)
+    hi = jnp.max(jnp.where(m, v, jnp.uint32(0)), axis=-3)
+    occupied = jnp.any(m[..., 0], axis=-2)          # [..., width]
+    agree = jnp.all(jnp.logical_or(~occupied, _eq8(lo, hi)), axis=-1)
+    return lo, occupied, agree
+
+
 def _shared_bottom(group: dict) -> dict:
-    """Leaf hash + full-width lower levels + switchover to slot form."""
+    """Leaf hash + full-width lower levels + switchover to dense node form."""
     indices = group["indices"]
     witness = group["witness"]                  # [..., n, w, 8]
     w = witness.shape[-2]
@@ -192,22 +213,19 @@ def _shared_bottom(group: dict) -> dict:
     idx = (indices // ld4) + 4 * (indices % ld4)
     ti0 = jnp.uint32(1 << (w + 2)) + idx
 
-    # one sort by start index orders every level: >> preserves uint order
-    perm = jnp.argsort(ti0, axis=-1)
-    ti = jnp.take_along_axis(ti0, perm, axis=-1)
-    val = _rows(group["value"], perm)
-    sib = _rows(group["sibling"], perm)
-    wit = jnp.take_along_axis(
-        witness, perm[..., None, None].astype(jnp.int32), axis=-3)
-
-    odd = (ti & 1).astype(bool)[..., None]
+    odd = (ti0 & 1).astype(bool)[..., None]
+    val, sib = group["value"], group["sibling"]
     res = blake2s.hash_leaf_pair(jnp.where(odd, sib, val),
                                  jnp.where(odd, val, sib))
-    ti = ti >> 1
+    ti = ti0 >> 1
 
-    t0 = max(1, w - _flog2(max(1, n - 1)))      # first compacted level
+    # First dense level.  The agreement machinery costs ~n * width elementwise
+    # ops per level while dedup saves (n - width/2) compressions, so wide
+    # levels are a net loss -- only the top _TAIL_CAP levels (where ~75% of
+    # the structural sharing lives) leave the full-width scan.
+    t0 = max(1, w - min(_flog2(max(1, n - 1)), _TAIL_CAP))
     if t0 > 1:
-        wit_b = jnp.moveaxis(wit[..., :t0 - 1, :], -2, 0)
+        wit_b = jnp.moveaxis(witness[..., :t0 - 1, :], -2, 0)
 
         def step(carry, w_t):
             res, ti = carry
@@ -218,76 +236,53 @@ def _shared_bottom(group: dict) -> dict:
 
         (res, ti), _ = lax.scan(step, (res, ti), wit_b)
 
-    # switchover: branches sharing a node must agree on the running hash
-    heads = _seg_heads(ti)
-    rep = _seg_rep(heads)
-    ok = jnp.logical_and(
-        ok, jnp.all(heads | _eq8(res, _rows(res, rep)), axis=-1))
-
-    # compact segment heads to a prefix (slot form, width n)
-    pos = jnp.where(heads, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
-    src = jnp.sort(pos, axis=-1)
-    nheads = jnp.sum(heads, axis=-1).astype(jnp.int32)
-    valid = jnp.arange(n, dtype=jnp.int32) < nheads[..., None]
-    src = jnp.minimum(src, n - 1)
+    # dense switchover: live keys ti = ti0 >> t0 span one aligned interval,
+    # so (key - base) is the node's slot.  Branches sharing a node must agree
+    # on the running hash; the agreed value becomes the slot state.
+    we = 1 << (w + 1 - t0)
+    o = (ti - jnp.uint32(1 << (w + 2 - t0))).astype(jnp.int32)   # [..., n]
+    state, valid, agree = _dense_agree(res, o, we)
     return {
-        "n": n, "w": w, "t0": t0, "tail_len": w - t0 + 1, "ok": ok,
-        "root": group["root"], "wit": wit, "bk": ti,
-        "keys": jnp.where(valid, jnp.take_along_axis(ti, src, axis=-1), _SENT),
-        "state": _rows(res, src),
-        "rep": src,
+        "n": n, "w": w, "t0": t0, "tail_len": w - t0 + 1,
+        "ok": jnp.logical_and(ok, agree),
+        "root": group["root"], "wit": witness, "ti0": ti0,
+        "state": state, "valid": valid,
     }
 
 
 def _tail_inputs(st: dict, j: int):
     """Build this level's (left, right) hash inputs for one group.
 
-    j = levels remaining after this one; output width = min(n, 2^j)."""
-    t = st["w"] - j                              # witness level consumed
-    w_out = min(st["n"], 1 << j)
-    k, s, rep = st["keys"], st["state"], st["rep"]
-    w_in = k.shape[-1]
-    wt = st["wit"][..., t - 1, :]                # [..., n, 8] (branch space)
+    j = levels remaining after this one; output width = 2^j; input slots
+    2o / 2o+1 are the children of output slot o."""
+    n, w = st["n"], st["w"]
+    t = w - j                                    # witness level consumed
+    wt = st["wit"][..., t - 1, :]                # [..., n, 8] (branch order)
+    valid = st["valid"]
+    w_in = valid.shape[-1]
 
-    # branch-level: every non-head branch must supply its head's witness
-    bheads = _seg_heads(st["bk"])
-    st["ok"] = jnp.logical_and(
-        st["ok"],
-        jnp.all(bheads | _eq8(wt, _rows(wt, _seg_rep(bheads))), axis=-1))
-    st["bk"] = st["bk"] >> 1
+    # all branches at a node must supply the same witness; the agreed value
+    # is the node's dense witness
+    o_in = ((st["ti0"] >> t) - jnp.uint32(1 << (w + 2 - t))).astype(jnp.int32)
+    wd, _, agree = _dense_agree(wt, o_in, w_in)
+    st["ok"] = jnp.logical_and(st["ok"], agree)
 
-    # slot-level: group input slots by parent node, compact to the out width
-    valid = k != _SENT
-    nk = jnp.where(valid, k >> 1, _SENT)
-    oh = jnp.logical_and(_seg_heads(nk), valid)
-    pos = jnp.where(oh, jnp.arange(w_in, dtype=jnp.int32), jnp.int32(w_in))
-    src = jnp.minimum(jnp.sort(pos, axis=-1)[..., :w_out], w_in - 1)
-    nheads = jnp.sum(oh, axis=-1).astype(jnp.int32)
-    out_valid = jnp.arange(w_out, dtype=jnp.int32) < nheads[..., None]
+    # dense pair step: children of output slot o are input slots 2o, 2o+1
+    d = st["state"]
+    dl, dr = d[..., 0::2, :], d[..., 1::2, :]
+    wl, wr = wd[..., 0::2, :], wd[..., 1::2, :]
+    vl, vr = valid[..., 0::2], valid[..., 1::2]
+    # even-key child hashes H(state || wit), odd H(wit || state); when both
+    # children are present one H(left || right) serves both walks provided
+    # each side's claimed witness equals the other's computed state
+    a = jnp.where(vl[..., None], dl, wr)
+    b = jnp.where(vr[..., None], dr, wl)
+    both = jnp.logical_and(vl, vr)
+    cross = jnp.logical_and(_eq8(wl, dr), _eq8(wr, dl))
+    st["ok"] = jnp.logical_and(st["ok"], jnp.all((~both) | cross, axis=-1))
 
-    src2 = jnp.minimum(src + 1, w_in - 1)
-    kl = jnp.take_along_axis(k, src, axis=-1)
-    kn = jnp.take_along_axis(k, src2, axis=-1)
-    sl, sr = _rows(s, src), _rows(s, src2)
-    repl, repn = (jnp.take_along_axis(rep, src, axis=-1),
-                  jnp.take_along_axis(rep, src2, axis=-1))
-    # kn != kl guards the clamped gather at the last lane (src2 == src)
-    paired = jnp.logical_and(out_valid,
-                             jnp.logical_and((kn >> 1) == (kl >> 1), kn != kl))
-    wl, wr = _rows(wt, repl), _rows(wt, repn)
-
-    # sibling merge: both sides' claimed witnesses must equal the other's
-    # computed state -- then one H(left || right) serves both walks
-    cross = jnp.logical_and(_eq8(wl, sr), _eq8(wr, sl))
-    st["ok"] = jnp.logical_and(st["ok"],
-                               jnp.all((~paired) | cross, axis=-1))
-
-    oddl = ((kl & 1) == 1)[..., None]
-    pairedl = paired[..., None]
-    a = jnp.where(pairedl | ~oddl, sl, wl)
-    b = jnp.where(pairedl, sr, jnp.where(oddl, sl, wl))
-    pend = {"keys": jnp.where(out_valid, kl >> 1, _SENT), "rep": repl}
-    return a, b, pend
+    st["valid"] = jnp.logical_or(vl, vr)
+    return a, b
 
 
 def verify_groups_shared(groups: list) -> list:
@@ -296,23 +291,25 @@ def verify_groups_shared(groups: list) -> list:
     groups: dicts with root [..., 8], indices [..., n], value/sibling
     [..., n, vw], witness [..., n, w, 8] (w = the group's uniform depth),
     depth [..., n].  Returns one [...] bool verdict per group (the AND over
-    its branches).  All groups' compacted tails stack into one Blake2s call
-    per tree level.
+    its branches).  All groups' dense tails stack into one Blake2s call per
+    tree level.
     """
     sts = [_shared_bottom(g) for g in groups]
     for j in range(max(st["tail_len"] for st in sts) - 1, -1, -1):
         parts = [st for st in sts if st["tail_len"] > j]
         ins = [_tail_inputs(st, j) for st in parts]
         h = blake2s.hash_pair(
-            jnp.concatenate([a for a, _, _ in ins], axis=-2),
-            jnp.concatenate([b for _, b, _ in ins], axis=-2))
+            jnp.concatenate([a for a, _ in ins], axis=-2),
+            jnp.concatenate([b for _, b in ins], axis=-2))
         off = 0
-        for st, (a, _, pend) in zip(parts, ins):
+        for st, (a, _) in zip(parts, ins):
             w_out = a.shape[-2]
-            st["keys"], st["rep"] = pend["keys"], pend["rep"]
             st["state"] = h[..., off:off + w_out, :]
             off += w_out
-    return [jnp.logical_and(st["ok"], _eq8(st["state"][..., 0, :], st["root"]))
+    return [jnp.logical_and(
+                st["ok"],
+                jnp.logical_and(st["valid"][..., 0],
+                                _eq8(st["state"][..., 0, :], st["root"])))
             for st in sts]
 
 

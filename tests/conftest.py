@@ -26,6 +26,19 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# The zstandard C extension segfaults compressing cache entries late in a
+# long multi-compile pytest process (reproduced twice at the same test with
+# 123 GB free RAM; fine in isolation).  Write new entries with zlib instead
+# and sniff the zstd frame magic on read so existing entries stay valid.
+import zlib  # noqa: E402
+from jax._src import compilation_cache as _cc  # noqa: E402
+
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+_zstd_decompress = _cc.decompress_executable
+_cc.compress_executable = zlib.compress
+_cc.decompress_executable = (
+    lambda e: _zstd_decompress(e) if e[:4] == _ZSTD_MAGIC else zlib.decompress(e))
+
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
