@@ -180,8 +180,8 @@ def _eq8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(a == b, axis=-1)
 
 
-def _dense_agree(vals: jnp.ndarray, o: jnp.ndarray, width: int):
-    """Place per-branch rows into dense slots, requiring agreement.
+def _dense_agree_minmax(vals: jnp.ndarray, o: jnp.ndarray, width: int):
+    """Masked min/max agreement (VPU broadcast-compare-reduce form).
 
     vals [..., n, 8], o [..., n] slot of each branch (in [0, width)).
     Returns (dense [..., width, 8] = masked min over the branches at each
@@ -199,6 +199,69 @@ def _dense_agree(vals: jnp.ndarray, o: jnp.ndarray, width: int):
     return lo, occupied, agree
 
 
+def _dense_agree_mxu(vals: jnp.ndarray, o: jnp.ndarray, width: int):
+    """MXU agreement: one-hot slot-membership matmuls on 4-bit nibbles.
+
+    Same contract as _dense_agree_minmax, but the per-slot reductions run as
+    matmuls on the systolic array instead of VPU min/max sweeps, so the
+    machinery cost stops scaling with n*width elementwise ops -- which is
+    what caps the shared-tail depth (docs/PERF.md "next levers").
+
+    Exactness argument (everything below is integer-exact):
+      * digests split into 4-bit nibbles v <= 15 and squares v^2 <= 225 --
+        both exact in bf16 (8-bit significand), so a DEFAULT-precision MXU
+        pass computes the dots exactly; f32 accumulation is exact since
+        every sum is < 2^24 (count <= n, S <= 15n, Q <= 225n, n <= a few
+        hundred branches);
+      * "all branches at a slot carry the same value" per nibble chunk is
+        the Cauchy-Schwarz equality condition  count * sum(v^2) == sum(v)^2
+        (products <= 225 n^2 < 2^24 for n <= 272, still exact f32);
+      * the dense representative is S / count: when agreement holds the true
+        quotient is the common integer nibble, and f32 division of exact
+        integers is correctly rounded, hence exact.  When a slot disagrees
+        the representative is garbage, but `agree` is already False and the
+        group verdict rejects regardless of what gets hashed above it.
+    """
+    n = vals.shape[-2]
+    assert n <= 272, "count*Q exceeds exact f32 range"  # 225*n^2 < 2^24
+    slots = jnp.arange(width, dtype=jnp.int32)
+    m = (o[..., None] == slots).astype(jnp.float32)     # [..., n, width]
+    # [..., n, 32] nibbles: word w bits [4c, 4c+4) -> chunk 8c + ... keep a
+    # fixed (word-major, nibble-minor) order; only consistency matters.
+    nib = jnp.stack([(vals >> (4 * c)) & jnp.uint32(0xF) for c in range(8)],
+                    axis=-1)                            # [..., n, 8, 8]
+    nib = nib.reshape(nib.shape[:-2] + (64,)).astype(jnp.float32)
+
+    def dotT(x):    # [..., n, k] -> [..., width, k], contracting n
+        return jax.lax.dot_general(
+            m, x, (((m.ndim - 2,), (x.ndim - 2,)),
+                   (tuple(range(m.ndim - 2)), tuple(range(x.ndim - 2)))),
+            preferred_element_type=jnp.float32)
+
+    sq = dotT(jnp.concatenate([nib, nib * nib], axis=-1))  # [..., width, 128]
+    s, q = sq[..., :64], sq[..., 64:]
+    count = jnp.sum(m, axis=-2)                         # [..., width]
+    occupied = count > 0
+    agree = jnp.all(count[..., None] * q == s * s, axis=(-1, -2))
+    rep = s / jnp.maximum(count, 1.0)[..., None]        # exact nibble when ok
+    rep = rep.astype(jnp.uint32).reshape(rep.shape[:-1] + (8, 8))
+    shifts = jnp.asarray([jnp.uint32(4 * c) for c in range(8)], jnp.uint32)
+    dense = jnp.sum(rep << shifts, axis=-1, dtype=jnp.uint32)  # [..., width, 8]
+    return dense, occupied, agree
+
+
+_AGREE_MXU = _os.environ.get("STARK_AGREE_MXU")
+
+
+def _dense_agree(vals, o, width):
+    use_mxu = _AGREE_MXU
+    if use_mxu is None:
+        use_mxu = "1" if jax.default_backend() == "tpu" else "0"
+    if use_mxu == "1":
+        return _dense_agree_mxu(vals, o, width)
+    return _dense_agree_minmax(vals, o, width)
+
+
 def _shared_bottom(group: dict) -> dict:
     """Leaf hash + full-width lower levels + switchover to dense node form."""
     indices = group["indices"]
@@ -213,19 +276,71 @@ def _shared_bottom(group: dict) -> dict:
     idx = (indices // ld4) + 4 * (indices % ld4)
     ti0 = jnp.uint32(1 << (w + 2)) + idx
 
-    odd = (ti0 & 1).astype(bool)[..., None]
     val, sib = group["value"], group["sibling"]
-    res = blake2s.hash_leaf_pair(jnp.where(odd, sib, val),
-                                 jnp.where(odd, val, sib))
-    ti = ti0 >> 1
+    if group.get("quad"):
+        # Sibling-quad form (FRI poly groups): branch 4k+i queries position
+        # y_k + (rou_deg/4)*i, whose PERMUTED index is 4*y_k + i
+        # (main.rs:62-66 + merkle_tree.rs:112-116) -- the four branches of a
+        # query are the four leaves of one level-2 subtree node and share
+        # every witness above it.  Walk the subtree once per query: two leaf
+        # pair-hashes + one combine instead of four full walks, with
+        # equality checks wherever a dropped branch's own data would have
+        # been used by its independent walk (same safety argument as the
+        # dense tails: all checks passing implies the independent walks
+        # compute exactly these states, so the final root equality decides
+        # all four at once; any mismatch rejects).
+        q4 = n // 4
+        lead4 = idx.shape[:-1] + (q4, 4)
+        idx4 = idx.reshape(lead4)
+        # in-graph structure guard (the caller constructs indices this way;
+        # a misrouted group must reject, never misverify)
+        ok = jnp.logical_and(ok, jnp.all(
+            idx4 == idx4[..., 0:1] + jnp.arange(4, dtype=jnp.uint32),
+            axis=(-1, -2)))
+        val4 = val.reshape(lead4 + val.shape[-1:])
+        sib4 = sib.reshape(lead4 + sib.shape[-1:])
+        # within each sibling pair, each branch's claimed sibling must be
+        # the other's value; then H(v0 || s0) serves both walks (b0's tree
+        # index 4y is even, b1's odd -> both hash the same ordered pair)
+        pair_ok = jnp.concatenate([
+            val4[..., 0::2, :] == sib4[..., 1::2, :],
+            sib4[..., 0::2, :] == val4[..., 1::2, :]], axis=-1)
+        ok = jnp.logical_and(ok, jnp.all(pair_ok, axis=(-1, -2, -3)))
+        n01 = blake2s.hash_leaf_pair(val4[..., 0, :], sib4[..., 0, :])
+        n23 = blake2s.hash_leaf_pair(val4[..., 2, :], sib4[..., 2, :])
+        wit4 = witness.reshape(lead4 + witness.shape[-2:])
+        # level-1: each branch's own first witness must equal the computed
+        # state of the OTHER pair (what its independent walk hashes against)
+        w0 = wit4[..., 0, :]                    # [..., q4, 4, 8]
+        ok = jnp.logical_and(ok, jnp.all(jnp.concatenate([
+            w0[..., 0:2, :] == n23[..., None, :],
+            w0[..., 2:4, :] == n01[..., None, :]], axis=-2),
+            axis=(-1, -2, -3)))
+        res = blake2s.hash_pair(n01, n23)       # [..., q4, 8]
+        # all four branches must present identical witnesses at every
+        # remaining level (each independent walk consumes its own copy)
+        if w > 1:
+            ok = jnp.logical_and(ok, jnp.all(
+                wit4[..., 1:, 1:, :] == wit4[..., 0:1, 1:, :],
+                axis=(-1, -2, -3, -4)))
+        ti0 = ti0.reshape(lead4)[..., 0]        # b0's start index, [..., q4]
+        ti = ti0 >> 2
+        witness = wit4[..., 0, :, :]            # [..., q4, w, 8]
+        n_eff, consumed = q4, 2
+    else:
+        odd = (ti0 & 1).astype(bool)[..., None]
+        res = blake2s.hash_leaf_pair(jnp.where(odd, sib, val),
+                                     jnp.where(odd, val, sib))
+        ti = ti0 >> 1
+        n_eff, consumed = n, 1
 
     # First dense level.  The agreement machinery costs ~n * width elementwise
     # ops per level while dedup saves (n - width/2) compressions, so wide
     # levels are a net loss -- only the top _TAIL_CAP levels (where ~75% of
     # the structural sharing lives) leave the full-width scan.
-    t0 = max(1, w - min(_flog2(max(1, n - 1)), _TAIL_CAP))
-    if t0 > 1:
-        wit_b = jnp.moveaxis(witness[..., :t0 - 1, :], -2, 0)
+    t0 = max(consumed, w - min(_flog2(max(1, n_eff - 1)), _TAIL_CAP))
+    if t0 > consumed:
+        wit_b = jnp.moveaxis(witness[..., consumed - 1:t0 - 1, :], -2, 0)
 
         def step(carry, w_t):
             res, ti = carry
@@ -240,10 +355,10 @@ def _shared_bottom(group: dict) -> dict:
     # so (key - base) is the node's slot.  Branches sharing a node must agree
     # on the running hash; the agreed value becomes the slot state.
     we = 1 << (w + 1 - t0)
-    o = (ti - jnp.uint32(1 << (w + 2 - t0))).astype(jnp.int32)   # [..., n]
+    o = (ti - jnp.uint32(1 << (w + 2 - t0))).astype(jnp.int32)   # [..., n_eff]
     state, valid, agree = _dense_agree(res, o, we)
     return {
-        "n": n, "w": w, "t0": t0, "tail_len": w - t0 + 1,
+        "n": n_eff, "w": w, "t0": t0, "tail_len": w - t0 + 1,
         "ok": jnp.logical_and(ok, agree),
         "root": group["root"], "wit": witness, "ti0": ti0,
         "state": state, "valid": valid,

@@ -99,7 +99,10 @@ def _fri_checks(l_root_words, fri, tables: StatementTables, cfg: StarkConfig,
                 "value": fri["poly_value"][..., l, :, :],
                 "sibling": fri["poly_sibling"][..., l, :, :],
                 "witness": fri["poly_witness"][l],
-                "depth": fri["poly_depth"][..., l, :]})
+                "depth": fri["poly_depth"][..., l, :],
+                # the 4 row branches of a query are sibling quads (permuted
+                # indices 4y+i); ops/merkle.py walks their shared subtree once
+                "quad": True})
         oks = merkle.verify_groups_shared(groups)
         ok_merkle = jnp.stack(
             [jnp.logical_and(oks[2 * l], oks[2 * l + 1]) for l in range(nlv)],

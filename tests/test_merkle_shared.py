@@ -205,3 +205,106 @@ def test_ragged_group_routed_to_shared_rejects_not_misverifies():
     grp = _group(root, idx, g)
     grp["depth"] = jnp.asarray(np.array([6, 6, 5, 6], np.uint32))
     assert not bool(np.asarray(shared_jit([grp])[0]))
+
+
+# ---------------------------------------------------------------------------
+# MXU agreement path (ops/merkle._dense_agree_mxu)
+# ---------------------------------------------------------------------------
+
+def test_dense_agree_mxu_matches_minmax():
+    """Exact parity of the matmul agreement with the min/max form: same
+    occupancy/agree flags always, same dense values wherever slots agree."""
+    rng = np.random.default_rng(7)
+    n, width = 24, 16
+    for case in ("agree", "disagree"):
+        vals = rng.integers(0, 1 << 32, size=(3, n, 8), dtype=np.uint32)
+        o = rng.integers(0, width, size=(3, n)).astype(np.int32)
+        # make every collision agree by copying the first branch at each slot
+        for b in range(3):
+            for s in range(width):
+                hits = np.nonzero(o[b] == s)[0]
+                if len(hits) > 1:
+                    vals[b, hits[1:]] = vals[b, hits[0]]
+        if case == "disagree":
+            dup = np.nonzero(o[0] == o[0][0])[0]
+            o[0][1] = o[0][0]
+            vals[0, 1] = vals[0, 0] ^ np.uint32(1 << 31)   # conflicting copy
+        d1, occ1, a1 = merkle._dense_agree_minmax(jnp.asarray(vals),
+                                                  jnp.asarray(o), width)
+        d2, occ2, a2 = merkle._dense_agree_mxu(jnp.asarray(vals),
+                                               jnp.asarray(o), width)
+        assert np.array_equal(np.asarray(occ1), np.asarray(occ2))
+        assert np.array_equal(np.asarray(a1), np.asarray(a2)), case
+        ok = np.asarray(a1)
+        d1, d2, occ = np.asarray(d1), np.asarray(d2), np.asarray(occ1)
+        assert np.array_equal(d1[ok][occ[ok]], d2[ok][occ[ok]])
+        if case == "agree":
+            assert ok.all()
+        else:
+            assert not ok[0] and ok[1:].all()   # only batch 0 was corrupted
+
+
+def test_shared_mxu_agreement_end_to_end(proof_bytes, monkeypatch):
+    """Whole shared walk with the MXU agreement forced on: golden groups
+    accept, corrupted deduplicated-witness data still rejects."""
+    monkeypatch.setattr(merkle, "_AGREE_MXU", "1")
+    fn = jax.jit(merkle.verify_groups_shared)
+    raw = _proof_groups(proof_bytes)
+    groups = [_group(r, i, g) for r, i, g in raw]
+    oks = [bool(np.asarray(o)) for o in fn(groups)]
+    assert oks == [True] * 12
+    root, idx, g = raw[0]
+    g2 = {k: np.array(v) for k, v in g.items()}
+    w = g2["witness"].shape[-2]
+    g2["witness"][len(idx) - 1, w - 1, 3] ^= 0x80000000
+    assert not bool(np.asarray(fn([_group(root, idx, g2)])[0]))
+
+
+# ---------------------------------------------------------------------------
+# sibling-quad poly groups (ops/merkle._shared_bottom quad path)
+# ---------------------------------------------------------------------------
+
+def test_quad_poly_groups_accept_and_reject(proof_bytes):
+    """FRI poly groups walked in sibling-quad form: golden data accepts;
+    corrupting any datum a dropped branch contributed (values, siblings,
+    first witnesses, upper witnesses of non-representative branches) still
+    rejects, exactly like the independent walk."""
+    raw = _proof_groups(proof_bytes)
+    for gi in (3, 11):                       # first and last poly group
+        root, idx, g = raw[gi]
+        quad_jit = jax.jit(
+            lambda gs: merkle.verify_groups_shared(
+                [dict(g_, quad=True) for g_ in gs]))
+        assert bool(np.asarray(quad_jit([_group(root, idx, g)])[0])), gi
+        w = g["witness"].shape[-2]
+        for site, mut in [
+            ("b1_value", lambda g2: g2["value"].__setitem__((1, 0), g2["value"][1, 0] ^ 1)),
+            ("b0_sibling", lambda g2: g2["sibling"].__setitem__((0, 2), g2["sibling"][0, 2] ^ 4)),
+            ("b1_wit0", lambda g2: g2["witness"].__setitem__((1, 0, 0), g2["witness"][1, 0, 0] ^ 1)),
+            ("b3_wit_top", lambda g2: g2["witness"].__setitem__((3, w - 1, 7), g2["witness"][3, w - 1, 7] ^ 2)),
+            ("b0_wit_mid", lambda g2: g2["witness"].__setitem__((0, w // 2, 3), g2["witness"][0, w // 2, 3] ^ 8)),
+            ("b2_value", lambda g2: g2["value"].__setitem__((2, 5), g2["value"][2, 5] ^ 16)),
+        ]:
+            g2 = {k: np.array(v) for k, v in g.items()}
+            mut(g2)
+            assert not bool(np.asarray(
+                quad_jit([_group(root, idx, g2)])[0])), (gi, site)
+            # parity: the independent walk rejects too
+            okf, _ = merkle.verify_branches(
+                jnp.asarray(root), jnp.asarray(np.asarray(idx, np.uint32)),
+                jnp.asarray(g2["value"]), jnp.asarray(g2["sibling"]),
+                jnp.asarray(g2["witness"]), w)
+            assert not bool(np.asarray(okf).all()), (gi, site)
+
+
+def test_quad_mixed_with_plain_groups(proof_bytes):
+    """Quad and plain groups stack their dense tails into the same per-level
+    Blake2s calls; whole-proof group set accepts with poly groups as quads."""
+    raw = _proof_groups(proof_bytes)
+    groups = [_group(r, i, g) for r, i, g in raw]
+    mixed_jit = jax.jit(
+        lambda gs: merkle.verify_groups_shared(
+            [dict(g_, quad=(k >= 2 and k % 2 == 1))  # FRI poly groups
+             for k, g_ in enumerate(gs)]))
+    oks = [bool(np.asarray(o)) for o in mixed_jit(groups)]
+    assert oks == [True] * 12
