@@ -223,7 +223,10 @@ def _dense_agree_mxu(vals: jnp.ndarray, o: jnp.ndarray, width: int):
         group verdict rejects regardless of what gets hashed above it.
     """
     n = vals.shape[-2]
-    assert n <= 272, "count*Q exceeds exact f32 range"  # 225*n^2 < 2^24
+    if n > 272:    # 225*n^2 < 2^24 needed for exact f32 products
+        raise ValueError(
+            f"_dense_agree_mxu: group width {n} > 272 breaks the exact-f32 "
+            "Cauchy-Schwarz argument; use _dense_agree_minmax")
     slots = jnp.arange(width, dtype=jnp.int32)
     m = (o[..., None] == slots).astype(jnp.float32)     # [..., n, width]
     # [..., n, 32] nibbles: word w bits [4c, 4c+4) -> chunk 8c + ... keep a
@@ -257,7 +260,7 @@ def _dense_agree(vals, o, width):
     use_mxu = _AGREE_MXU
     if use_mxu is None:
         use_mxu = "1" if jax.default_backend() == "tpu" else "0"
-    if use_mxu == "1":
+    if use_mxu == "1" and vals.shape[-2] <= 272:
         return _dense_agree_mxu(vals, o, width)
     return _dense_agree_minmax(vals, o, width)
 
@@ -293,9 +296,15 @@ def _shared_bottom(group: dict) -> dict:
         lead4 = idx.shape[:-1] + (q4, 4)
         idx4 = idx.reshape(lead4)
         # in-graph structure guard (the caller constructs indices this way;
-        # a misrouted group must reject, never misverify)
+        # a misrouted group must reject, never misverify).  Requires the
+        # quad to be 4-ALIGNED, not just consecutive: indices 4y+2..4y+5
+        # would pass a consecutiveness-only check yet straddle two subtree
+        # nodes, making the H(n01||n23) combine order diverge from the
+        # independent walks.
         ok = jnp.logical_and(ok, jnp.all(
-            idx4 == idx4[..., 0:1] + jnp.arange(4, dtype=jnp.uint32),
+            jnp.logical_and(
+                idx4 == idx4[..., 0:1] + jnp.arange(4, dtype=jnp.uint32),
+                (idx4[..., 0:1] & jnp.uint32(3)) == 0),
             axis=(-1, -2)))
         val4 = val.reshape(lead4 + val.shape[-1:])
         sib4 = sib.reshape(lead4 + sib.shape[-1:])

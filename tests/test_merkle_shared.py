@@ -297,6 +297,45 @@ def test_quad_poly_groups_accept_and_reject(proof_bytes):
             assert not bool(np.asarray(okf).all()), (gi, site)
 
 
+def test_quad_misaligned_consecutive_rejects():
+    """Alignment guard: a quad whose PERMUTED indices are consecutive but not
+    4-aligned (4y+2..4y+5) with fabricated data that satisfies every
+    pair/witness cross-check -- the attacker presents the real subtree of
+    level-2 node y, so without the `(idx4[...,0] & 3) == 0` guard the shared
+    walk's H(n01||n23) chain reaches the true root and ACCEPTS, while the
+    independent walks hash in the opposite order and reject."""
+    w = 6
+    rng = np.random.default_rng(3)
+    leaves = [rng.integers(0, 256, 32, np.uint8).tobytes() for _ in range(128)]
+    levels = _build_tree(leaves)
+    root = _words(levels[-1][0])
+    y = 3
+    # query indices x whose permuted index i = (x // ld4) + 4*(x % ld4) is
+    # 4y+2 .. 4y+5 (consecutive, straddling two level-2 subtrees)
+    ld4 = 1 << (w - 1)
+    idx = [(i % 4) * ld4 + (i // 4) for i in range(4 * y + 2, 4 * y + 6)]
+    n01 = levels[1][2 * y]          # real level-1 nodes of level-2 node y
+    n23 = levels[1][2 * y + 1]
+    vals = [leaves[4 * y], leaves[4 * y + 1], leaves[4 * y + 2], leaves[4 * y + 3]]
+    sibs = [vals[1], vals[0], vals[3], vals[2]]          # pair checks pass
+    wit0 = [n23, n23, n01, n01]                          # level-1 checks pass
+    upper = [levels[t][(y >> (t - 2)) ^ 1] for t in range(2, w + 1)]
+    g = {"value": np.array([_words(v) for v in vals]),
+         "sibling": np.array([_words(s) for s in sibs]),
+         "witness": np.array([[_words(x_) for x_ in [w0] + upper]
+                              for w0 in wit0])}
+    assert g["witness"].shape == (4, w, 8)
+    quad_jit = jax.jit(lambda gs: merkle.verify_groups_shared(
+        [dict(g_, quad=True) for g_ in gs]))
+    assert not bool(np.asarray(quad_jit([_group(root, idx, g)])[0]))
+    # parity: the independent walk rejects this data too
+    okf, _ = merkle.verify_branches(
+        jnp.asarray(root), jnp.asarray(np.asarray(idx, np.uint32)),
+        jnp.asarray(g["value"]), jnp.asarray(g["sibling"]),
+        jnp.asarray(g["witness"]), w)
+    assert not bool(np.asarray(okf).any())
+
+
 def test_quad_mixed_with_plain_groups(proof_bytes):
     """Quad and plain groups stack their dense tails into the same per-level
     Blake2s calls; whole-proof group set accepts with poly groups as quads."""
