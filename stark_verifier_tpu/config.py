@@ -140,6 +140,10 @@ class StatementTables:
         # from the power table) the FRI row check needs NO field inversion
         # (ops/quartic.eval4_inv_free)
         self.quartic_winv = fp.ints_to_limbs([pow(w, m - 2, m) for w in wc])
+        # even/odd-split row evaluation constants (ops/quartic.eval4_even_odd):
+        # g^{-1} = g^3 (the quartic roots satisfy g^4 = 1) and 4^{-1} mod p
+        self.quartic_ginv = fp.int_to_limbs(qr[3])
+        self.inv4 = fp.int_to_limbs(pow(4, m - 2, m))
         self.last_step_position = pow(self.G2, (cfg.num_steps - 1) * cfg.skips, m)
         # zeropoly2 = (x - 1)(x - last) = [last, -(1+last), 1]  (main.rs:185)
         self.zeropoly2 = fp.ints_to_limbs([

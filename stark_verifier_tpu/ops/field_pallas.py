@@ -176,6 +176,24 @@ def _sub_canon(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(tc[16][None, :] > 0, r1, u[:16])
 
 
+def _add_canon(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a + b) mod p for canonical [16, T] tiles, canonical output.
+
+    s = a + b < 2p; s >= p  <=>  s + C >= 2^256 (p = 2^256 - C), so
+    normalize s and s + C in ONE lane-stacked [17, 2T] carry pass and select
+    on the +C copy's carry-out (limb-major mirror of field.add_mod)."""
+    T = a.shape[1]
+    s = a + b                                # rows < 2^17
+    cvec = jnp.concatenate(
+        [jnp.full((1, T), np.uint32(c), jnp.uint32) for c in (_C0, _C1, _C2)]
+        + [jnp.zeros((13, T), jnp.uint32)], axis=0)
+    w = jnp.concatenate([_shift_rows(s, 0, 17),
+                         _shift_rows(s + cvec, 0, 17)], axis=1)
+    wn = _carry_cols(w)
+    sn, un = wn[:, :T], wn[:, T:]
+    return jnp.where(un[16][None, :] > 0, un[:16], sn[:16])
+
+
 def _sum_rows(v: jnp.ndarray) -> jnp.ndarray:
     """Sum [r, T] rows -> [1, T].  Unrolled adds: Mosaic does not implement
     reductions over unsigned integers (jnp.sum on uint32 fails to lower)."""

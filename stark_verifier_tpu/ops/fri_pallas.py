@@ -1,28 +1,32 @@
-"""Pallas TPU kernel for the fused FRI row check.
+"""Pallas TPU kernel for the fused FRI row check (even/odd-split form).
 
-quartic.eval4_inv_free under XLA is ~13 modular multiplies per row group,
-and each multiply's MXU column matmul forces its elementwise neighbours
-into separate fusions -- every intermediate [N, 16] limb array (and the
-[N, 512] f32 product columns) round-trips HBM.  This kernel evaluates the
-whole inversion-free barycentric chain
+The FRI row interpolant's nodes are q_i * x1 with q = (1, g, g^2, g^3) the
+quartic roots of unity and g^2 = -1 (stale-root quirk: identical at every
+level, SURVEY 2.2.5), so the cubic through the four row values splits into
+even/odd parts LINEAR in z^2 (see ops/quartic.eval4_even_odd for the
+derivation):
 
-    P(sx) = [ sum_i (y_i * winv_i) * prod_{j != i} (sx - x_j) ] * x1^-3
+    4 * P(sx) = (y0+y1+y2+y3)
+              + ((y0+y2) - (y1+y3)) * (sx^2 / x1^2)
+              + ((y0-y2) + c1) * (sx / x1)
+              + ((y0-y2) - c1) * (sx / x1) * (sx^2 / x1^2)
+    c1 = (y1 - y3) * g^{-1}
 
-for a row group in ONE kernel: the four node-difference residues, both
-pair products, the four "others" products, the four weighted rows, the
-single-fold 4-term sum and the final x1^-3 product all live in VMEM.  Per
-group it reads 10x64 B of operands and writes 64 B -- vs ~3 KB of HBM
-intermediates per multiply on the XLA path.
+This is ~8 modular multiplies per row group versus ~15 for the barycentric
+form the first kernel generation used, needs no nodes gather, no barycentric
+weights, and no sx==node coincidence select (polynomial in sx, exact
+everywhere).  Under XLA each multiply's MXU column matmul forces its
+elementwise neighbours into separate fusions (every [N, 16] intermediate
+round-trips HBM); this kernel keeps the whole chain in VMEM.
 
 Layout and Mosaic constraints follow ops/field_pallas.py (limb-major
-[16, T] tiles, no scatters, no boolean vectors); the barycentric weight
-inverses winv_i are STATIC per statement family, so they are baked into
-the kernel as scalar limb constants.
+[16, T] tiles, no scatters, no boolean vectors); g^{-1} and 4^{-1} are
+STATIC per statement family and baked in as scalar limb constants.
 
-Bit-exact semantics of quartic.eval4_inv_free (reference:
-/root/reference/src/utils.rs:196-244, 103-120), including the sx==node
-coincidence select.  Enabled in the verifier via STARK_PALLAS=1
-(field.pallas_enabled); golden-tested against the XLA path in
+Bit-exact semantics of the reference's multi_interp_4 + eval_quartic
+(reference: /root/reference/src/utils.rs:196-244, 103-120): same polynomial,
+evaluated mod p.  Enabled in the verifier via STARK_PALLAS=1
+(field.pallas_enabled); golden-tested against the XLA path and the oracle in
 tests/test_fri_pallas.py.
 """
 
@@ -37,67 +41,47 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .field_pallas import (
-    MASK, _canon_cols, _fold_canon, _mul_cols, _mul_cols_const, _sub_canon,
-    _sum_rows)
+    _add_canon, _canon_cols, _fold_canon, _mul_cols, _mul_cols_const,
+    _shift_rows, _sub_canon)
 
 LANE_TILE = 512          # row groups per grid step
 
 
-def _is_zero_bit(v: jnp.ndarray) -> jnp.ndarray:
-    """[16, T] canonical residue -> [1, T] uint32 1 where the value is 0.
-    Row sum < 2^20, so (0 - s) >> 31 is the s != 0 indicator."""
-    s = _sum_rows(v)
-    return jnp.uint32(1) - ((jnp.uint32(0) - s) >> 31)
-
-
 @functools.lru_cache(maxsize=4)
-def _make_row_kernel(winv_limbs: tuple):
-    """winv_limbs: 4-tuple of 16-tuples of ints -- the static barycentric
-    weight inverses 1/prod_{j != i}(q_i - q_j) (host-inverted)."""
+def _make_row_kernel(ginv_limbs: tuple, inv4_limbs: tuple):
+    """ginv_limbs/inv4_limbs: 16-tuples of ints -- g^{-1} = g^3 and 4^{-1}."""
 
-    def kernel(nodes_ref, ys_ref, x1ci_ref, sx_ref, o_ref):
-        # nodes/ys [64, T] (4 stacked 16-limb values), x1ci/sx [16, T]
-        sxc = _canon_cols(sx_ref[:])                 # raw special_x -> canon
-        nodes = nodes_ref[:]
+    def kernel(ys_ref, sx_ref, s2_ref, x1i_ref, x1sqi_ref, o_ref):
+        # ys [64, T] (4 stacked 16-limb raw rows); sx/s2 [16, T] canonical
+        # (special_x and its square, shared per level, broadcast per group);
+        # x1i/x1sqi [16, T] = x1^{-1}, x1^{-2} power-table gathers
         ys = ys_ref[:]
-        d = [_sub_canon(sxc, nodes[16 * i:16 * (i + 1)]) for i in range(4)]
-
-        d01 = _fold_canon(_mul_cols(d[0], d[1]))
-        d23 = _fold_canon(_mul_cols(d[2], d[3]))
-        others = (_fold_canon(_mul_cols(d[1], d23)),
-                  _fold_canon(_mul_cols(d[0], d23)),
-                  _fold_canon(_mul_cols(d01, d[3])),
-                  _fold_canon(_mul_cols(d01, d[2])))
-        # the 4 barycentric terms share ONE fold (sum rows < 2^23)
-        acc = _mul_cols(_fold_canon(_mul_cols_const(
-            ys[0:16], winv_limbs[0])), others[0])
-        for i in range(1, 4):
-            yw = _fold_canon(_mul_cols_const(
-                ys[16 * i:16 * (i + 1)], winv_limbs[i]))
-            acc = acc + _mul_cols(yw, others[i])
-        ssum = _fold_canon(acc)
-        lhs = _fold_canon(_mul_cols(ssum, x1ci_ref[:]))
-
-        # sx == node coincidence: the interpolant's value there is that
-        # node's y (canonicalized); nodes are distinct so at most one hits
-        hits = [_is_zero_bit(di) for di in d]
-        any_hit = hits[0] | hits[1] | hits[2] | hits[3]
-        y_sel = jnp.zeros_like(lhs)
-        for i in range(4):
-            m = jnp.uint32(0) - hits[i]              # all-ones where hit
-            y_sel = y_sel | (ys[16 * i:16 * (i + 1)] & m)
-        y_hit = _canon_cols(y_sel)
-        ma = jnp.uint32(0) - any_hit
-        o_ref[:] = (y_hit & ma) | (lhs & ~ma)
+        y = [_canon_cols(ys[16 * i:16 * (i + 1)]) for i in range(4)]
+        s02 = _add_canon(y[0], y[2])
+        s13 = _add_canon(y[1], y[3])
+        d02 = _sub_canon(y[0], y[2])
+        c1 = _fold_canon(_mul_cols_const(_sub_canon(y[1], y[3]), ginv_limbs))
+        sa = _add_canon(s02, s13)
+        da = _sub_canon(s02, s13)
+        e = _add_canon(d02, c1)
+        f = _sub_canon(d02, c1)
+        st = _fold_canon(_mul_cols(s2_ref[:], x1sqi_ref[:]))   # sx^2 / x1^2
+        sxx = _fold_canon(_mul_cols(sx_ref[:], x1i_ref[:]))    # sx  / x1
+        g1 = _fold_canon(_mul_cols(sxx, st))
+        # the three products and sa share ONE fold (rows < 3*2^21 + 2^16)
+        acc = _mul_cols(da, st) + _mul_cols(e, sxx) + _mul_cols(f, g1)
+        acc = acc + _shift_rows(sa, 0, 33)
+        s = _fold_canon(acc)
+        o_ref[:] = _fold_canon(_mul_cols_const(s, inv4_limbs))
 
     return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("winv_limbs", "interpret"))
-def _rows_t(nodes_t, ys_t, x1ci_t, sx_t, winv_limbs: tuple,
-            interpret: bool = False):
-    """Limb-major fused row check: nodes/ys [64, N], x1ci/sx [16, N] ->
+                   static_argnames=("ginv_limbs", "inv4_limbs", "interpret"))
+def _rows_t(ys_t, sx_t, s2_t, x1i_t, x1sqi_t, ginv_limbs: tuple,
+            inv4_limbs: tuple, interpret: bool = False):
+    """Limb-major fused row check: ys [64, N], sx/s2/x1i/x1sqi [16, N] ->
     [16, N] canonical evaluations.  N must be a LANE_TILE multiple."""
     n = sx_t.shape[1]
     assert n % LANE_TILE == 0, n
@@ -108,26 +92,32 @@ def _rows_t(nodes_t, ys_t, x1ci_t, sx_t, winv_limbs: tuple,
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        _make_row_kernel(winv_limbs),
+        _make_row_kernel(ginv_limbs, inv4_limbs),
         out_shape=jax.ShapeDtypeStruct((16, n), jnp.uint32),
         grid=grid,
-        in_specs=[spec(64), spec(64), spec(16), spec(16)],
+        in_specs=[spec(64), spec(16), spec(16), spec(16), spec(16)],
         out_specs=spec(16),
         interpret=interpret,
-    )(nodes_t, ys_t, x1ci_t, sx_t)
+    )(ys_t, sx_t, s2_t, x1i_t, x1sqi_t)
 
 
-def eval4_rows(nodes, x1cb_inv, winv_np, ys, sx, interpret: bool = False):
-    """Drop-in fused replacement for quartic.eval4_inv_free.
+def eval4_rows(x1_inv, x1sq_inv, ys, sx, ginv_np, inv4_np,
+               interpret: bool = False):
+    """Drop-in fused replacement for quartic.eval4_even_odd.
 
-    nodes [..., G, 4, 16] canonical; x1cb_inv [..., G, 16]; winv_np [4, 16]
-    HOST (numpy) weight-inverse constants; ys [..., G, 4, 16] raw rows;
-    sx [..., 16] raw, broadcast over G.  Returns [..., G, 16] canonical.
+    x1_inv/x1sq_inv [..., G, 16] canonical power-table gathers; ys
+    [..., G, 4, 16] raw rows; sx [..., 16] raw, broadcast over G;
+    ginv_np/inv4_np [16] HOST (numpy) constants g^{-1}, 4^{-1}.
+    Returns [..., G, 16] canonical.
     """
-    winv_limbs = tuple(tuple(int(x) for x in row) for row in
-                       np.asarray(winv_np))
-    lead = nodes.shape[:-2]                          # [..., G]
-    sx_b = jnp.broadcast_to(sx[..., None, :], lead + (16,))
+    from . import field as F
+    ginv_limbs = tuple(int(x) for x in np.asarray(ginv_np))
+    inv4_limbs = tuple(int(x) for x in np.asarray(inv4_np))
+    sxc = F.canon(sx)                       # per level (tiny XLA prologue)
+    s2 = F.sqr_mod(sxc)
+    lead = x1_inv.shape[:-1]                # [..., G]
+    sx_b = jnp.broadcast_to(sxc[..., None, :], lead + (16,))
+    s2_b = jnp.broadcast_to(s2[..., None, :], lead + (16,))
     n = int(np.prod(lead)) if lead else 1
     npad = -(-n // LANE_TILE) * LANE_TILE
 
@@ -138,10 +128,8 @@ def eval4_rows(nodes, x1cb_inv, winv_np, ys, sx, interpret: bool = False):
                 [x, jnp.zeros((npad - n,) + tail, jnp.uint32)])
         return x
 
-    nodes_t = flat(nodes, (64,)).T                   # [64, N]
-    ys_t = flat(ys, (64,)).T
-    x1ci_t = flat(x1cb_inv, (16,)).T
-    sx_t = flat(sx_b, (16,)).T
-    out_t = _rows_t(nodes_t, ys_t, x1ci_t, sx_t, winv_limbs,
+    out_t = _rows_t(flat(ys, (64,)).T, flat(sx_b, (16,)).T,
+                    flat(s2_b, (16,)).T, flat(x1_inv, (16,)).T,
+                    flat(x1sq_inv, (16,)).T, ginv_limbs, inv4_limbs,
                     interpret=interpret)
     return out_t.T[:n].reshape(lead + (16,))

@@ -110,6 +110,57 @@ def eval4_inv_free(nodes: jnp.ndarray, x1cb_inv: jnp.ndarray,
     return jnp.where(any_hit[..., None], y_hit, lhs)
 
 
+def eval4_even_odd(x1_inv: jnp.ndarray, x1sq_inv: jnp.ndarray,
+                   ys: jnp.ndarray, sx: jnp.ndarray,
+                   ginv: jnp.ndarray, inv4: jnp.ndarray) -> jnp.ndarray:
+    """Even/odd-split evaluation of the FRI row interpolant -- the cheapest
+    known form for these nodes (~8 multiplies per group vs ~15 barycentric).
+
+    The nodes are q_i * x1 with q = (1, g, g^2, g^3) the quartic roots of
+    unity (stale-root quirk: identical at every level, SURVEY 2.2.5), and
+    g^2 = -1, so the interpolating cubic splits into even/odd parts that are
+    LINEAR in z^2:
+
+        P(z) = A(z^2) + z * B(z^2),   A(t) = (y0 + y2)/2,  A(-t) = (y1 + y3)/2
+        B(t) = (y0 - y2)/(2 x1),      B(-t) = (y1 - y3)/(2 g x1),  t = x1^2
+
+    which solves to (with c1 = (y1 - y3) * g^{-1}):
+
+        4 * P(sx) = (y0+y1+y2+y3)
+                  + ((y0+y2) - (y1+y3)) * (sx^2 / x1^2)
+                  + ((y0-y2) + c1) * (sx / x1)
+                  + ((y0-y2) - c1) * (sx / x1) * (sx^2 / x1^2)
+
+    The divisions are all by powers of x1 = G2^e -- gathers from the power
+    table (x1_inv = G2^{-e}, x1sq_inv = G2^{-2e}) -- so like eval4_inv_free
+    there is NO field inversion; unlike it there is no nodes gather, no
+    barycentric weights, and no sx==node coincidence select (this form is
+    polynomial in sx, exact everywhere).  Bit-identical to the reference's
+    multi_interp_4 + eval_quartic value (src/utils.rs:196-244, 103-120):
+    same polynomial, evaluated mod p.
+
+    x1_inv/x1sq_inv: [..., G, 16] canonical; ys: [..., G, 4, 16] raw rows;
+    sx: [..., 16] raw (broadcast over G); ginv/inv4: [16] host constants
+    g^{-1} = g^3 and 4^{-1} mod p.  Returns [..., G, 16] canonical.
+    """
+    sxc = F.canon(sx)
+    s2 = F.sqr_mod(sxc)                                   # shared per level
+    y = F.canon(ys)
+    y0, y1, y2, y3 = (y[..., i, :] for i in range(4))
+    s02, s13 = F.add_mod(y0, y2), F.add_mod(y1, y3)
+    d02 = F.sub_mod(y0, y2)
+    c1 = F.mul_mod(F.sub_mod(y1, y3), ginv)
+    sa = F.add_mod(s02, s13)
+    da = F.sub_mod(s02, s13)
+    e = F.add_mod(d02, c1)
+    f = F.sub_mod(d02, c1)
+    st = F.mul_mod(s2[..., None, :], x1sq_inv)            # sx^2 / x1^2
+    sxx = F.mul_mod(sxc[..., None, :], x1_inv)            # sx / x1
+    g1 = F.mul_mod(sxx, st)
+    s = F.mul_sum_mod([(da, st), (e, sxx), (f, g1)], extra=[sa])
+    return F.mul_mod(s, inv4)
+
+
 def eval_interp4_nodes(nodes: jnp.ndarray, x1cb: jnp.ndarray,
                        wconsts: jnp.ndarray, ys: jnp.ndarray,
                        sx: jnp.ndarray) -> jnp.ndarray:

@@ -124,20 +124,20 @@ def _fri_checks(l_root_words, fri, tables: StatementTables, cfg: StarkConfig,
         ok_merkle = jnp.logical_and(jnp.stack(ok_col_l, axis=-1),
                                     jnp.stack(ok_poly_l, axis=-1))  # [..., L]
 
-    # x-coords are quartic_rou[j] * rou_level^y with rou_level = G2^(4^l)
-    # (stale quartic roots, main.rs:73-80): every node is a known power of G2,
-    # so nodes AND the row evaluation's only true denominator x1^-3 come from
-    # the master power table by gather -- no square-and-multiply, no inversion
-    # (docs/PERF.md)
+    # row x-coords are quartic_rou[j] * x1 with x1 = rou_level^y,
+    # rou_level = G2^(4^l) (stale quartic roots, main.rs:73-80): x1 is a known
+    # power of G2, so the even/odd-split row evaluation's only denominators
+    # x1^-1 / x1^-2 come from the master power table by gather -- no
+    # square-and-multiply, no inversion, and no nodes gather at all
+    # (ops/quartic.eval4_even_odd; docs/PERF.md)
     g2t = jnp.asarray(tables.g2_powers)                    # [precision, 16]
     mask = jnp.uint32(cfg.precision - 1)
     lvl_mult = jnp.asarray(
         np.array([4 ** l for l in range(len(tables.level_rous))],
                  dtype=np.uint32))[:, None]                # [L, 1]
     e1 = (ys * lvl_mult) & mask                            # [..., L, q]
-    offs = jnp.arange(4, dtype=jnp.uint32) * jnp.uint32(cfg.precision // 4)
-    nodes = jnp.take(g2t, (e1[..., None] + offs) & mask, axis=0)  # [...,L,q,4,16]
-    x1cb_inv = jnp.take(g2t, (jnp.uint32(0) - jnp.uint32(3) * e1) & mask,
+    x1_inv = jnp.take(g2t, (jnp.uint32(0) - e1) & mask, axis=0)
+    x1sq_inv = jnp.take(g2t, (jnp.uint32(0) - jnp.uint32(2) * e1) & mask,
                         axis=0)                            # [..., L, q, 16]
 
     rows = F.words_be_to_limbs(fri["poly_value"])          # [..., L, 4q, 16]
@@ -147,15 +147,16 @@ def _fri_checks(l_root_words, fri, tables: StatementTables, cfg: StarkConfig,
     # (main.rs:84-86): a non-canonical committed value can never equal a
     # canonical lhs, exactly like the reference's unreduced BigInt equality
     if F.pallas_enabled():
-        # fused whole-chain kernel: all ~13 multiplies of the barycentric
+        # fused whole-chain kernel: all ~8 multiplies of the even/odd-split
         # evaluation stay in VMEM (ops/fri_pallas.py)
         from ..ops import fri_pallas
         lhs = fri_pallas.eval4_rows(
-            nodes, x1cb_inv, np.asarray(tables.quartic_winv), rows,
-            special_x)
+            x1_inv, x1sq_inv, rows, special_x,
+            np.asarray(tables.quartic_ginv), np.asarray(tables.inv4))
     else:
-        lhs = quartic.eval4_inv_free(
-            nodes, x1cb_inv, jnp.asarray(tables.quartic_winv), rows, special_x)
+        lhs = quartic.eval4_even_odd(
+            x1_inv, x1sq_inv, rows, special_x,
+            jnp.asarray(tables.quartic_ginv), jnp.asarray(tables.inv4))
     col_vals_raw = F.words_be_to_limbs(fri["col_value"])
     ok_val = jnp.all(jnp.all(lhs == col_vals_raw, axis=-1), axis=-1)
     ok = jnp.all(jnp.logical_and(ok_merkle, ok_val), axis=-1)

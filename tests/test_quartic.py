@@ -56,6 +56,25 @@ def _eval_device_legacy(e1_list, ys_rows, sx_int):
     return [fp.limbs_to_int(r) for r in np.asarray(out)]
 
 
+def _eval_device_eo(e1_list, ys_rows, sx_int):
+    """The even/odd-split path (quartic.eval4_even_odd) exactly as the
+    verifier gathers it: x1^-1 and x1^-2 from the power table."""
+    from stark_verifier_tpu.ops import quartic
+    tables = cached_tables(StarkConfig())
+    g2t = jnp.asarray(tables.g2_powers)
+    e1 = jnp.asarray(np.array(e1_list, dtype=np.uint32))          # [G]
+    x1_inv = jnp.take(g2t, (jnp.uint32(0) - e1) & jnp.uint32(65535), axis=0)
+    x1sq_inv = jnp.take(
+        g2t, (jnp.uint32(0) - jnp.uint32(2) * e1) & jnp.uint32(65535), axis=0)
+    ys = jnp.asarray(np.stack([fp.ints_to_limbs(r) for r in ys_rows]))
+    sx = jnp.asarray(fp.int_to_limbs(sx_int % (1 << 256)))
+    f = jax.jit(lambda xi, xsi, y, s: quartic.eval4_even_odd(
+        xi, xsi, y, s, jnp.asarray(tables.quartic_ginv),
+        jnp.asarray(tables.inv4)))
+    out = f(x1_inv, x1sq_inv, ys, sx)
+    return [fp.limbs_to_int(r) for r in np.asarray(out)]
+
+
 def _eval_oracle(e1_list, ys_rows, sx_int):
     tables = cached_tables(StarkConfig())
     G2 = tables.G2
@@ -78,6 +97,7 @@ def test_barycentric_matches_coefficient_path():
     want = _eval_oracle(e1, rows, sx)
     assert _eval_device(e1, rows, sx) == want
     assert _eval_device_legacy(e1, rows, sx) == want
+    assert _eval_device_eo(e1, rows, sx) == want
 
 
 def test_barycentric_node_collision():
@@ -92,3 +112,5 @@ def test_barycentric_node_collision():
     exp = _eval_oracle(e1, rows, sx)
     assert got == exp
     assert got[0] == rows[0][1] % P
+    # the even/odd form is polynomial in sx -- exact at nodes with no select
+    assert _eval_device_eo(e1, rows, sx) == exp

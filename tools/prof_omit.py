@@ -45,7 +45,8 @@ def main():
           f"pallas={F.pallas_enabled()}", flush=True)
 
     real_branches = merkle.verify_branches
-    real_eval4 = quartic.eval4_inv_free
+    real_shared = merkle.verify_groups_shared
+    real_eval4 = quartic.eval4_even_odd
     real_prg = prg.pseudorandom_indices
     import stark_verifier_tpu.ops.fri_pallas as frip
     import stark_verifier_tpu.ops.spot_pallas as spotp
@@ -55,11 +56,14 @@ def main():
     def stub_branches(root, idx, value, sibling, witness, depth):
         return jnp.ones(idx.shape, bool), None
 
-    def stub_eval4(nodes, x1ci, winv, ys, sx):
-        return jnp.zeros(nodes.shape[:-2] + (16,), jnp.uint32)
+    def stub_shared(groups):
+        return [jnp.ones(g["root"].shape[:-1], bool) for g in groups]
 
-    def stub_rows(nodes, x1ci, winv, ys, sx, interpret=False):
-        return jnp.zeros(nodes.shape[:-2] + (16,), jnp.uint32)
+    def stub_eval4(x1i, x1sqi, ys, sx, ginv, inv4):
+        return jnp.zeros(x1i.shape, jnp.uint32)
+
+    def stub_rows(x1i, x1sqi, ys, sx, ginv, inv4, interpret=False):
+        return jnp.zeros(x1i.shape, jnp.uint32)
 
     def stub_spot(raw5, tab5, ks4, ic1, ic0, interpret=False):
         return jnp.ones(raw5.shape[:-2] + (3,), bool)
@@ -71,7 +75,7 @@ def main():
 
     variants = {
         "full": {},
-        "no merkle walks": {"branches": stub_branches},
+        "no merkle walks": {"branches": stub_branches, "shared": stub_shared},
         "no fri row math": {"eval4": stub_eval4, "rows": stub_rows},
         "no spot math": {"spot": stub_spot},
         "no index prgs": {"prg": stub_prg},
@@ -80,7 +84,8 @@ def main():
     base = None
     for name, stubs in variants.items():
         merkle.verify_branches = stubs.get("branches", real_branches)
-        quartic.eval4_inv_free = stubs.get("eval4", real_eval4)
+        merkle.verify_groups_shared = stubs.get("shared", real_shared)
+        quartic.eval4_even_odd = stubs.get("eval4", real_eval4)
         frip.eval4_rows = stubs.get("rows", real_rows)
         spotp.spot_checks = stubs.get("spot", real_spot)
         prg.pseudorandom_indices = stubs.get("prg", real_prg)
@@ -89,7 +94,8 @@ def main():
             p50 = timeit(fn, tree, iters)
         finally:
             merkle.verify_branches = real_branches
-            quartic.eval4_inv_free = real_eval4
+            merkle.verify_groups_shared = real_shared
+            quartic.eval4_even_odd = real_eval4
             frip.eval4_rows = real_rows
             spotp.spot_checks = real_spot
             prg.pseudorandom_indices = real_prg
