@@ -39,6 +39,27 @@ _cc.compress_executable = zlib.compress
 _cc.decompress_executable = (
     lambda e: _zstd_decompress(e) if e[:4] == _ZSTD_MAGIC else zlib.decompress(e))
 
+# Round 3: the crash is one layer earlier than the zstd patch assumed --
+# executable.serialize() itself segfaults (faulthandler frame:
+# compilation_cache.put_executable_and_time line 265 = executable.serialize()),
+# and it strikes LATE in long multi-compile processes regardless of the
+# executable's device count (observed once on the sharded mesh verifier,
+# once on a single-device full-verifier graph, both past the ~60th compile;
+# the same compiles serialize fine in fresh processes).  The suite therefore
+# runs the persistent cache READ-ONLY by default -- crash-free, and warm if
+# tools/warm_cache.sh (which runs pytest one file per fresh process with
+# STARK_CACHE_WRITE=1) has populated entries since the last kernel change.
+_put = _cc.put_executable_and_time
+
+
+def _safe_put(cache_key, module_name, executable, backend, compile_time):
+    if os.environ.get("STARK_CACHE_WRITE") != "1":
+        return
+    return _put(cache_key, module_name, executable, backend, compile_time)
+
+
+_cc.put_executable_and_time = _safe_put
+
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
