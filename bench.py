@@ -30,7 +30,9 @@ def main():
     from stark_verifier_tpu.proofio import wire, device
     from stark_verifier_tpu.protocol import verify as V
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    # defaults from the round-3 sweep (tools/bench_sweep.sh, docs/PERF.md):
+    # batch 8192 / chunk 512 peaks at 18.3k proofs/s; 16384 exceeds HBM
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     with open("/root/reference/proof.bin", "rb") as f:
@@ -42,10 +44,11 @@ def main():
     # the converging upper-tree levels, ops/merkle.py) back to the
     # independent lockstep walk
     shared = os.environ.get("STARK_SHARED_MERKLE", "1") == "1"
-    if batch > 1024 and batch % 1024 == 0:
+    chunk = int(os.environ.get("STARK_CHUNK", "512"))
+    if batch > chunk and batch % chunk == 0:
         # beyond the ~1024 working-set sweet spot, chunk inside the graph
-        # (docs/PERF.md batch-scaling note)
-        fn, _ = V.make_chunked_verifier(StarkConfig(), chunk=1024,
+        # (docs/PERF.md batch-scaling note); STARK_CHUNK tunes the chunk size
+        fn, _ = V.make_chunked_verifier(StarkConfig(), chunk=chunk,
                                         shared_merkle=shared)
     else:
         fn, _ = V.make_verifier(StarkConfig(), shared_merkle=shared)

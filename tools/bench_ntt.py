@@ -37,14 +37,17 @@ def main():
         vals = fp.ints_to_limbs_fast(
             [rng.randrange(P) for _ in range(n)])
         d = jnp.asarray(vals)
-        fn = jax.jit(lambda v: ntt.ntt(v, root))
-        out = jax.block_until_ready(fn(d))
+        # reduce to ONE scalar on device and fetch it: through the axon
+        # tunnel block_until_ready can return early and a [n, 16] fetch
+        # costs ~seconds (docs/PERF.md measurement rule)
+        fn = jax.jit(lambda v, r=root: jnp.sum(ntt.ntt(v, r),
+                                               dtype=jnp.uint32))
+        np.asarray(fn(d))
         t_compile = time.perf_counter() - t0
         iters = max(3, min(20, (1 << 22) // n))
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(d)
-        jax.block_until_ready(out)
+            np.asarray(fn(d))
         dt = (time.perf_counter() - t0) / iters
         results[f"2^{logn}"] = {
             "ms": round(dt * 1e3, 2),
