@@ -45,6 +45,10 @@ def main():
     # independent lockstep walk
     shared = os.environ.get("STARK_SHARED_MERKLE", "1") == "1"
     chunk = int(os.environ.get("STARK_CHUNK", "512"))
+    if batch > chunk and batch % chunk:
+        # a silent fall-through to the flat graph would mislabel the sweep
+        # measurement (a flat 8192-proof graph is a different working set)
+        raise SystemExit(f"STARK_CHUNK={chunk} does not divide batch {batch}")
     if batch > chunk and batch % chunk == 0:
         # beyond the ~1024 working-set sweet spot, chunk inside the graph
         # (docs/PERF.md batch-scaling note); STARK_CHUNK tunes the chunk size

@@ -70,7 +70,7 @@ def test_device_rejects_semantic_tampering(small_verifier, fresh_bytes):
         node = t
         for k in path[:-1]:
             node = node[k]
-        leaf = node[path[-1]] if not isinstance(node, list) else node[path[-1]]
+        leaf = node[path[-1]]
         flat = leaf.reshape(-1)
         flat[len(flat) // 2] ^= 1
         return device.to_device(t)
@@ -108,7 +108,8 @@ def test_strict_mode_on_fresh_points():
     assert bool(np.asarray(fn(device.to_device(tree))))
 
     t = jax.tree.map(lambda x: np.array(x), tree)
-    t["points"][9, 0] ^= 1          # position 9: excluded-set member
+    t["points"][9, 0] ^= 1          # position 9: IS checked (not a multiple
+                                    # of 8 -- the direct check skips those)
     assert not bool(np.asarray(fn(device.to_device(t))))
 
 

@@ -7,7 +7,7 @@
 # Per-file processes keep each serialize early-process, where it is reliable.
 # Run this after any kernel/protocol change; the next plain suite run is then
 # warm (~20 min instead of ~60).
-set -u
+set -u -o pipefail
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/repo/tests
 export JAX_PLATFORMS=cpu
@@ -16,7 +16,7 @@ fail=0
 for f in tests/test_*.py; do
     echo "=== $f ==="
     timeout 3000 python -m pytest "$f" -q --no-header 2>&1 | tail -2
-    rc=$?
-    [ $rc -ne 0 ] && { echo "FAILED: $f (rc=$rc)"; fail=1; }
+    rc=${PIPESTATUS[0]}
+    [ "$rc" -ne 0 ] && { echo "FAILED: $f (rc=$rc)"; fail=1; }
 done
 exit $fail
