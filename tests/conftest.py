@@ -40,15 +40,16 @@ _cc.decompress_executable = (
     lambda e: _zstd_decompress(e) if e[:4] == _ZSTD_MAGIC else zlib.decompress(e))
 
 # Round 3: the crash is one layer earlier than the zstd patch assumed --
-# executable.serialize() itself segfaults (faulthandler frame:
-# compilation_cache.put_executable_and_time line 265 = executable.serialize()),
-# and it strikes LATE in long multi-compile processes regardless of the
-# executable's device count (observed once on the sharded mesh verifier,
-# once on a single-device full-verifier graph, both past the ~60th compile;
-# the same compiles serialize fine in fresh processes).  The suite therefore
-# runs the persistent cache READ-ONLY by default -- crash-free, and warm if
-# tools/warm_cache.sh (which runs pytest one file per fresh process with
-# STARK_CACHE_WRITE=1) has populated entries since the last kernel change.
+# XLA CPU executable (de)serialization itself segfaults once a process has
+# done ~50+ big compiles (observed in executable.serialize() on both a
+# sharded mesh graph and a single-device verifier graph, AND in
+# backend.deserialize_executable on a cache read; all reproduce only late-
+# process -- the same calls succeed in fresh processes).  Two mitigations:
+# pytest.ini splits the suite over 4 xdist workers (whole files per worker,
+# so no process accumulates enough compiles to hit the bug), and the suite
+# runs the persistent cache READ-ONLY -- tools/warm_cache.sh (one file per
+# fresh pytest process with STARK_CACHE_WRITE=1) populates entries after
+# kernel changes.
 _put = _cc.put_executable_and_time
 
 

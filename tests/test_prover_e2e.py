@@ -113,6 +113,18 @@ def test_strict_mode_on_fresh_points():
     assert not bool(np.asarray(fn(device.to_device(t))))
 
 
+def test_stream_fresh_small_statement(fresh_bytes):
+    """verify_stream on the 8-device mesh for a NON-default statement family:
+    fresh proof accepts, a byte-flipped copy rejects, a truncated blob is
+    skipped as a parse failure without aborting the stream."""
+    from stark_verifier_tpu.parallel import mesh as M
+    tampered = bytearray(fresh_bytes)
+    tampered[120] ^= 1                      # inside a committed value
+    blobs = [fresh_bytes, bytes(tampered), fresh_bytes[:300]]
+    got = dict(M.verify_stream(blobs, chunk=8, cfg=CFG, inp=3))
+    assert got == {0: True, 1: False, 2: False}
+
+
 def test_general_api_fresh_random_family():
     """A real proof of a RANDOM constants family + non-default input through
     the general verifier (runtime inp/constants/output; lib.rs:99): accepts,
