@@ -219,50 +219,6 @@ def interp4_nodes_finish(pre: dict, inv_total: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(pre["any_hit"][..., None], pre["y_hit"], lhs)
 
 
-def eval_interp4_at(xs: jnp.ndarray, ys: jnp.ndarray, sx: jnp.ndarray) -> jnp.ndarray:
-    """Evaluate the quartic through (xs, ys) directly at sx (barycentric form).
-
-    xs: [..., G, 4, 16] distinct canonical nodes; ys: [..., G, 4, 16] (raw ok);
-    sx: [..., 16] broadcast over G.  Returns [..., G, 16] canonical -- the same
-    value multi_interp_4 + eval_quartic produce (reference: src/utils.rs:196-244,
-    103-120), with ~2x fewer multiplies: no coefficient vector is formed.
-
-    lhs = N * sum_i y_i / ((sx - x_i) * w_i),  N = prod_i (sx - x_i),
-    w_i = prod_{j != i} (x_i - x_j); if sx hits a node, the interpolant's
-    value there is y_i (canonical), selected explicitly.
-    """
-    sx_b = F.canon(sx)[..., None, None, :]              # [..., 1, 1, 16]
-    d = F.sub_mod(jnp.broadcast_to(sx_b, xs.shape), xs)  # [..., G, 4, 16]
-    d0, d1, d2, d3 = (d[..., i, :] for i in range(4))
-    num = F.mul_mod(F.mul_mod(d0, d1), F.mul_mod(d2, d3))  # [..., G, 16]
-
-    # w_i = prod_{j!=i} (x_i - x_j)
-    x = xs
-    diffs = [[None] * 4 for _ in range(4)]
-    for i in range(4):
-        for j in range(4):
-            if i != j:
-                diffs[i][j] = F.sub_mod(x[..., i, :], x[..., j, :])
-    w = [F.mul_mod(F.mul_mod(diffs[i][(i + 1) % 4], diffs[i][(i + 2) % 4]),
-                   diffs[i][(i + 3) % 4]) for i in range(4)]
-
-    den = jnp.stack([F.mul_mod(d[..., i, :], w[i]) for i in range(4)], axis=-2)
-    lead = den.shape[:-3]
-    inv_den = F.batch_inv(den.reshape(lead + (-1, 16))).reshape(den.shape)
-
-    terms = F.mul_mod(ys, inv_den)                       # [..., G, 4, 16]
-    ssum = F.add_mod(F.add_mod(terms[..., 0, :], terms[..., 1, :]),
-                     F.add_mod(terms[..., 2, :], terms[..., 3, :]))
-    lhs = F.mul_mod(num, ssum)
-
-    # sx coinciding with a node: value is that node's y (canonical)
-    hit = jnp.all(d == 0, axis=-1)                       # [..., G, 4]
-    any_hit = jnp.any(hit, axis=-1)                      # [..., G]
-    y_can = F.canon(ys)
-    y_hit = jnp.sum(jnp.where(hit[..., None], y_can, 0), axis=-2).astype(jnp.uint32)
-    return jnp.where(any_hit[..., None], y_hit, lhs)
-
-
 def eval_quartic(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """coeffs[..., 4, 16] (constant-first), x [..., 16] -> [..., 16] canonical.
 

@@ -89,6 +89,29 @@ def _eval_oracle(e1_list, ys_rows, sx_int):
             for g in range(len(e1_list))]
 
 
+def test_interp4_coefficients_match_oracle():
+    """The coefficient-form C10 API (quartic.interp4 + eval_quartic) matches
+    the reference algorithm exactly: same coefficient vectors as
+    multi_interp_4 (utils.rs:196-244) and the same evaluation."""
+    from stark_verifier_tpu.ops import quartic
+    G = 6
+    xs_int = [[rng.randrange(P) for _ in range(4)] for _ in range(G)]
+    ys_int = [[rng.randrange(1 << 256) for _ in range(4)] for _ in range(G)]
+    sx = rng.randrange(1 << 256)
+    xs = jnp.asarray(np.stack([fp.ints_to_limbs(r) for r in xs_int]))
+    ys = jnp.asarray(np.stack([fp.ints_to_limbs(r) for r in ys_int]))
+    coeffs = quartic.interp4(xs, ys)                     # [G, 4, 16]
+    want = oracle.multi_interp_4([x for r in xs_int for x in r],
+                                 [y for r in ys_int for y in r])
+    got = [fp.limbs_to_int(c) for g in np.asarray(coeffs) for c in g]
+    assert got == want
+    ev = quartic.eval_quartic(coeffs, jnp.asarray(
+        fp.int_to_limbs(sx % (1 << 256))))
+    assert ([fp.limbs_to_int(r) for r in np.asarray(ev)]
+            == [oracle.eval_quartic(want[4 * g: 4 * g + 4], sx)
+                for g in range(G)])
+
+
 def test_barycentric_matches_coefficient_path():
     G = 12
     e1 = [rng.randrange(65536) for _ in range(G)]
