@@ -26,22 +26,25 @@ def enable_compile_cache(path: str = "/root/repo/.jax_cache") -> None:
 
 
 def verify_proof_bytes(proof_bytes: bytes, inp: int = 3,
-                       log_steps: int = 13) -> bool:
+                       log_steps: int = 13, strict: bool = False) -> bool:
     """Parse + verify one serialized proof; malformed input rejects.
 
     Library facade mirroring the reference cdylib entry point
     (reference: /root/reference/src/lib.rs:99 pub verify_mimc_proof, plus the
-    main() driver's parse/MiMC recompute, main.rs:199-227).  For batched
-    verification use protocol.verify.make_verifier directly.
+    main() driver's parse/MiMC recompute, main.rs:199-227).  Malformed or
+    family-shape-mismatched proofs return False (the reference panics =
+    reject, SURVEY.md 2.2.8); trailing bytes after the proof are tolerated
+    like the reference (main.rs:204) unless strict.  For batched verification
+    use protocol.verify.make_verifier directly.
     """
     import numpy as np
     from .config import StarkConfig
     from .proofio import wire, device
     from .protocol import verify as V
 
-    cfg = StarkConfig(log_steps=log_steps)
+    cfg = StarkConfig(log_steps=log_steps, strict=strict)
     try:
-        host_tree = device.proof_tree(wire.parse_proof(proof_bytes))
+        host_tree = device.proof_tree(wire.parse_and_validate(proof_bytes, cfg))
     except wire.WireFormatError:
         return False
     tree = device.to_device(host_tree)
@@ -81,7 +84,7 @@ def verify_mimc(inp, num_steps, round_constants, output, proofs,
     golden_shape = None
     for b in blobs:
         try:
-            t = device.proof_tree(wire.parse_proof_fast(bytes(b)))
+            t = device.proof_tree(wire.parse_and_validate(bytes(b), cfg))
             trees.append(t)
             ok_parse.append(True)
             golden_shape = t

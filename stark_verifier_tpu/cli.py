@@ -43,6 +43,13 @@ def _build_parser():
                         help="dump a jax.profiler trace to ./trace")
         if name == "bench":
             sp.add_argument("--iters", type=int, default=20)
+            sp.add_argument("--devices", type=int, default=1,
+                            help="shard the batch over the first N devices "
+                                 "(parallel/mesh); N=1 uses the single-chip "
+                                 "verifier")
+            sp.add_argument("--ref-single-chip", type=float, default=None,
+                            help="proofs/s of a 1-chip run, for the scaling-"
+                                 "efficiency line (BASELINE.md >=80% metric)")
     return ap
 
 
@@ -56,23 +63,42 @@ def _prepare(args, times: "PhaseTimes"):
 
     cfg = StarkConfig(log_steps=args.log_steps,
                       strict=getattr(args, "strict", False))
+    n_devices = getattr(args, "devices", 1)
     with times.phase("parse"):
         with open(args.proof, "rb") as f:
             proof_bytes = f.read()
         try:
-            parsed = wire.parse_proof_fast(proof_bytes)
+            parsed = wire.parse_and_validate(proof_bytes, cfg)
         except wire.WireFormatError as e:
             print(f"malformed proof: {e}", file=sys.stderr)
             sys.exit(2)
         tree = parsed_tree = device.proof_tree(parsed)
-        if args.batch > 1:
-            tree = device.replicate_proof(tree, args.batch)
+        if args.batch > 1 or n_devices > 1:
+            tree = device.replicate_proof(tree, max(args.batch, 1))
+    shared = device.is_rectangular(parsed_tree)
+
+    if n_devices > 1:
+        # batch-parallel over a device mesh (parallel/mesh): the verdict AND
+        # is the only cross-chip collective; per-chip throughput at N vs 1
+        # is the BASELINE.md scaling-efficiency metric
+        from stark_verifier_tpu.parallel import mesh as M
+        if args.batch % n_devices:
+            print(f"--batch {args.batch} must be a multiple of --devices "
+                  f"{n_devices}", file=sys.stderr)
+            sys.exit(2)
+        m = M.make_mesh(n_devices)
+        with times.phase("h2d (sharded)"):
+            tree = M.shard_batch(tree, m)
+            jax.block_until_ready(tree)
+        inner = M.make_sharded_verifier(m, cfg, inp=args.input,
+                                        shared_merkle=shared)
+        fn = lambda t: inner(t)[0]   # noqa: E731  (verdicts; drop the scalar)
+        return jax, fn, tree
+
     with times.phase("h2d"):
         tree = device.to_device(tree)
         jax.block_until_ready(tree)
-
-    fn, _tables = V.make_verifier(cfg, inp=args.input,
-                                  shared_merkle=device.is_rectangular(parsed_tree))
+    fn, _tables = V.make_verifier(cfg, inp=args.input, shared_merkle=shared)
     return jax, fn, tree
 
 
@@ -121,11 +147,16 @@ def cmd_bench(args):
         batch=n, iters=args.iters,
         p50_s=float(np.percentile(samples, 50)),
         device=str(jax.devices()[0]),
-        n_devices=1,
+        n_devices=args.devices,
     )
     log.info("phases: %s",
              {k: round(v * 1e3, 1) for k, v in times.phases.items()})
     print(report.to_json())
+    if args.ref_single_chip:
+        eff = report.proofs_per_s_per_chip / args.ref_single_chip
+        print(json.dumps({"scaling_efficiency": round(eff, 4),
+                          "n_devices": args.devices,
+                          "ref_single_chip_proofs_per_s": args.ref_single_chip}))
     return 0
 
 

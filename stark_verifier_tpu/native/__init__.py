@@ -29,7 +29,6 @@ _ERRORS = {
     1: "truncated proof",
     2: "invalid proof element type",
     3: "bad size field",
-    5: "trailing bytes after proof",
     6: "too many FRI levels",
     7: "meta buffer too small",
 }
@@ -67,11 +66,13 @@ def get_lib():
         return _lib
 
 
-def parse_proof_native(proof_bytes: bytes):
+def parse_proof_native(proof_bytes: bytes, allow_trailing: bool = True):
     """Parse with the C fast path; returns a wire.ProofArrays.
 
     Raises wire.WireFormatError on malformed input (same error model as the
-    Python parser); raises RuntimeError if the native library is unavailable.
+    Python parser, including the reference's trailing-bytes tolerance --
+    deserializer.rs:142 returns a consumed count that main.rs:204 ignores);
+    raises RuntimeError if the native library is unavailable.
     """
     from ..proofio import wire
 
@@ -90,6 +91,10 @@ def parse_proof_native(proof_bytes: bytes):
     n_points = int(meta[1])
     lv_meta = meta[2:2 + 6 * n_levels].reshape(n_levels, 6)
     mn, mvs, md, ln, lvs, ld = meta[2 + 6 * n_levels: 2 + 6 * n_levels + 6]
+    consumed = int(meta[2 + 6 * n_levels + 6])
+    if not allow_trailing and consumed != len(proof_bytes):
+        raise wire.WireFormatError(
+            f"{len(proof_bytes) - consumed} trailing bytes after proof")
 
     u8 = np.uint8
     u32 = np.uint32
@@ -178,4 +183,5 @@ def parse_proof_native(proof_bytes: bytes):
                    main_vs, main_d),
         lincomb=group(lin_v, lin_s, lin_w, int(ln), int(lvs), int(ld),
                       lin_vs, lin_d),
+        consumed=consumed,
     )

@@ -14,9 +14,12 @@
  * deserializer.rs:104-119): scan reports the group maxima, fill zero-pads
  * each branch into the max-strided buffers and records per-branch sizes.
  *
- * Error codes: 0 ok; 1 truncated; 2 bad tag; 3 bad size field; 5 trailing
- * bytes; 6 too many levels; 7 meta buffer too small.  (code 4 "ragged" is
- * retired -- ragged groups parse.)
+ * Error codes: 0 ok; 1 truncated; 2 bad tag; 3 bad size field; 6 too many
+ * levels; 7 meta buffer too small.  (code 4 "ragged" is retired -- ragged
+ * groups parse; code 5 "trailing bytes" is retired -- the reference returns
+ * a consumed count and ignores trailing garbage, deserializer.rs:142 +
+ * main.rs:204, so scan reports consumed in meta and the Python wrapper
+ * decides.)
  */
 
 #include <stdint.h>
@@ -85,6 +88,7 @@ static int walk_group(rdr *r, uint32_t *n_out, uint32_t *vmax_out,
 /* meta layout (int64): [0]=n_levels, [1]=n_points,
  * then per level: col_n, col_vmax, col_dmax, poly_n, poly_vmax, poly_dmax
  * then: main_n, main_vmax, main_dmax, lin_n, lin_vmax, lin_dmax
+ * then: consumed byte count (trailing bytes after it are tolerated).
  * meta_cap = capacity in int64 entries. */
 int svt_scan(const uint8_t *buf, size_t len, int64_t *meta, size_t meta_cap) {
     rdr r = {buf, 0, len};
@@ -118,13 +122,13 @@ int svt_scan(const uint8_t *buf, size_t len, int64_t *meta, size_t meta_cap) {
             return 2;
         }
     }
-    if (mi + 6 > meta_cap) return 7;
+    if (mi + 7 > meta_cap) return 7;
     for (int k = 0; k < 2; k++) {
         int rc = walk_group(&r, &g[0], &g[1], &g[2], 0, 0, 0, 0, 0, 0, 0);
         if (rc) return rc;
         meta[mi++] = g[0]; meta[mi++] = g[1]; meta[mi++] = g[2];
     }
-    if (r.off != len) return 5;
+    meta[mi] = (int64_t)r.off;    /* consumed; trailing bytes tolerated */
     meta[0] = n_levels;
     meta[1] = n_points;
     return 0;
@@ -194,6 +198,5 @@ int svt_fill(const uint8_t *buf, size_t len,
                     (uint32_t)tm[3 + 1], (uint32_t)tm[3 + 2],
                     lin_vsizes, lin_depths);
     if (rc) return rc;
-    if (r.off != len) return 5;
-    return 0;
+    return 0;    /* trailing bytes tolerated (see svt_scan) */
 }

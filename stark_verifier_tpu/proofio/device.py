@@ -37,6 +37,9 @@ def proof_tree(p: ProofArrays) -> dict:
     proofs to a parse reject reproduces (merkle-layer raggedness itself is
     fully supported, see ops/merkle.py + wire.BranchGroup)."""
     lv = p.fri_levels
+    if not lv:
+        from .wire import WireFormatError
+        raise WireFormatError("proof has no FRI levels")
     for g in ([l.column for l in lv] + [l.poly for l in lv]
               + [p.main, p.lincomb]):
         if len(set(g.vsizes.tolist())) != 1:

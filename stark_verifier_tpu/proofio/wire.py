@@ -21,6 +21,19 @@ value size and witness depth (true for every group in the MiMC proof family;
 ragged proofs would be padded per family config).  Malformed input raises
 WireFormatError -- the batched verifier maps parse failures to reject verdicts
 instead of panicking like the reference (SURVEY.md section 2.2.8).
+
+Trailing-bytes semantics match the reference: from_bytes returns the consumed
+byte count (deserializer.rs:142) and main() ignores it (main.rs:204), so a
+proof followed by trailing garbage still verifies.  parse_proof therefore
+accepts trailing bytes by default and records `consumed`; strict mode (or
+allow_trailing=False) rejects them.
+
+Structure validation against a statement family (validate_proof) is a
+separate step from byte parsing: the wire format itself admits any level
+count / group widths, but the verifier graph is compiled for one family's
+fixed shapes -- a parsed-but-wrong-shape proof must REJECT with a structured
+error, never escape as a jit shape error (the reference's equivalent is the
+hardcoded shape asserts panicking, main.rs:50,120-123).
 """
 
 from __future__ import annotations
@@ -91,6 +104,9 @@ class ProofArrays:
                                      # deserializer.rs:47-59)
     main: BranchGroup
     lincomb: BranchGroup
+    consumed: int = -1               # bytes consumed by the parse; input may
+                                     # carry trailing garbage beyond it (the
+                                     # reference ignores the count, main.rs:204)
 
 
 def _bytes_to_words(b: bytes) -> np.ndarray:
@@ -162,8 +178,15 @@ def _parse_multiproof(r: _Reader) -> BranchGroup:
     )
 
 
-def parse_proof(proof_bytes: bytes) -> ProofArrays:
-    """Parse one serialized proof. Raises WireFormatError on malformed input."""
+def parse_proof(proof_bytes: bytes, allow_trailing: bool = True) -> ProofArrays:
+    """Parse one serialized proof. Raises WireFormatError on malformed input.
+
+    allow_trailing=True matches the reference: from_bytes returns
+    (StarkProof, consumed) (deserializer.rs:142) and main() ignores consumed
+    (main.rs:204), so trailing garbage after a well-formed proof verifies.
+    Pass False (strict mode) to reject trailing bytes instead; either way the
+    consumed count rides along on the result.
+    """
     r = _Reader(proof_bytes)
     merkle_root = _bytes_to_words(r.take(32))
     l_merkle_root = _bytes_to_words(r.take(32))
@@ -190,18 +213,69 @@ def parse_proof(proof_bytes: bytes) -> ProofArrays:
 
     main = _parse_multiproof(r)
     lincomb = _parse_multiproof(r)
-    if r.off != len(proof_bytes):
+    if r.off != len(proof_bytes) and not allow_trailing:
         raise WireFormatError(
             f"{len(proof_bytes) - r.off} trailing bytes after proof")
     return ProofArrays(merkle_root, l_merkle_root, fri_levels, points,
-                       main, lincomb)
+                       main, lincomb, consumed=r.off)
 
 
-def parse_proof_fast(proof_bytes: bytes) -> ProofArrays:
+def parse_proof_fast(proof_bytes: bytes,
+                     allow_trailing: bool = True) -> ProofArrays:
     """Parse via the native C scanner when available (identical output and
     error model; see native/wire_parser.c), else the Python walker."""
     try:
         from .. import native
-        return native.parse_proof_native(proof_bytes)
+        return native.parse_proof_native(proof_bytes, allow_trailing)
     except RuntimeError:
-        return parse_proof(proof_bytes)
+        return parse_proof(proof_bytes, allow_trailing)
+
+
+def validate_proof(p: ProofArrays, cfg) -> None:
+    """Check a parsed proof's structure against a statement family's shapes.
+
+    The verifier graph is compiled for one family's fixed layout (level
+    count, group widths, value sizes -- main.rs:50,120-123 pin these with
+    panicking asserts in the reference); a structurally wrong proof must map
+    to a reject verdict, not a jit tracing error.  Raises WireFormatError on
+    any mismatch; witness depths stay free (the reference walks per-branch
+    depth, merkle_tree.rs:119-163) except depth 0, which no committed tree
+    can produce (the permute-4 shuffle needs >= 4 leaves, merkle_tree.rs:112).
+    """
+    nlv = len(p.fri_levels)
+    if nlv != cfg.fri_levels:
+        raise WireFormatError(
+            f"proof has {nlv} FRI levels; family expects {cfg.fri_levels}")
+    q = cfg.fri_queries
+
+    def check_group(g: BranchGroup, name: str, n: int, vsize: int):
+        if g.n != n:
+            raise WireFormatError(
+                f"{name}: {g.n} branches; family expects {n}")
+        if g.vsize_classes != (vsize,):
+            raise WireFormatError(
+                f"{name}: value sizes {g.vsize_classes}; family expects "
+                f"{vsize}-byte values")
+        if int(g.depths.min()) < 1:
+            raise WireFormatError(f"{name}: zero-depth witness")
+
+    for l, lv in enumerate(p.fri_levels):
+        check_group(lv.column, f"FRI level {l} column", q, 32)
+        check_group(lv.poly, f"FRI level {l} poly", 4 * q, 32)
+    check_group(p.main, "main branches", 2 * cfg.spot_checks, 96)
+    check_group(p.lincomb, "lincomb branches", cfg.spot_checks, 32)
+    npoints = p.points_words.shape[0]
+    if npoints != cfg.fri_final_domain:
+        raise WireFormatError(
+            f"POINTS element has {npoints} values; family expects "
+            f"{cfg.fri_final_domain}")
+
+
+def parse_and_validate(proof_bytes: bytes, cfg) -> ProofArrays:
+    """Parse (native fast path) + family-shape validation in one step.
+
+    Strict mode also rejects trailing bytes (the one place the reference's
+    consumed-count tolerance is tightened; SURVEY.md section 2.1)."""
+    p = parse_proof_fast(proof_bytes, allow_trailing=not cfg.strict)
+    validate_proof(p, cfg)
+    return p

@@ -30,9 +30,13 @@ def test_random_byte_flips_reject(proof_bytes):
         b[off] ^= 1 << rng.randrange(8)
         blob = bytes(b)
         try:
-            tree = device.to_device(device.proof_tree(wire.parse_proof(blob)))
+            # the real API path: parse + family-shape validation (a flipped
+            # size field can reshape the proof; with the reference's
+            # trailing-byte tolerance only validation catches that)
+            tree = device.to_device(device.proof_tree(
+                wire.parse_and_validate(blob, StarkConfig())))
         except wire.WireFormatError:
-            continue  # parser rejected: fine
+            continue  # parser/validator rejected: fine
         if bool(np.asarray(fn(tree))):
             accepted.append(off)
     # the POINTS element is parsed but ignored in parity mode -- flips there
@@ -63,7 +67,8 @@ def test_batched_region_sweep(proof_bytes):
     for off in offsets:
         b = bytearray(proof_bytes)
         b[off] ^= 1 << rng.randrange(8)
-        trees.append(device.proof_tree(wire.parse_proof(bytes(b))))
+        trees.append(device.proof_tree(
+            wire.parse_and_validate(bytes(b), StarkConfig(strict=True))))
     verdicts = np.asarray(fn(device.to_device(device.stack_proofs(trees))))
     accepted = [(offsets[i], picks[i][2]) for i in range(batch) if verdicts[i]]
     assert not accepted, f"corruptions accepted: {accepted}"

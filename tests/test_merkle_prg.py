@@ -29,8 +29,12 @@ def test_parser_rejects_malformed(proof_bytes):
     b[64:68] = (7).to_bytes(4, "little")  # invalid element tag
     with pytest.raises(wire.WireFormatError):
         wire.parse_proof(bytes(b))
+    # trailing bytes: tolerated by default like the reference (main.rs:204
+    # ignores the consumed count), rejected only when asked
+    p = wire.parse_proof(proof_bytes + b"\x00")
+    assert p.consumed == len(proof_bytes)
     with pytest.raises(wire.WireFormatError):
-        wire.parse_proof(proof_bytes + b"\x00")  # trailing bytes
+        wire.parse_proof(proof_bytes + b"\x00", allow_trailing=False)
 
 
 def test_words_be_to_limbs_roundtrip(proof_bytes):

@@ -49,8 +49,12 @@ def test_native_error_model(lib, proof_bytes):
     b[64:68] = (7).to_bytes(4, "little")
     with pytest.raises(wire.WireFormatError):
         native.parse_proof_native(bytes(b))
+    # trailing bytes tolerated by default (reference parity, main.rs:204);
+    # rejected only on request -- matching the Python parser
+    p = native.parse_proof_native(proof_bytes + b"\x00")
+    assert p.consumed == len(proof_bytes)
     with pytest.raises(wire.WireFormatError):
-        native.parse_proof_native(proof_bytes + b"\x00")
+        native.parse_proof_native(proof_bytes + b"\x00", allow_trailing=False)
 
 
 def test_native_faster_than_python(lib, proof_bytes):
