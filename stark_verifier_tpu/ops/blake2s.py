@@ -197,7 +197,8 @@ def hash_words(words: jnp.ndarray, nbytes: int) -> jnp.ndarray:
     zero-padded by the caller (W >= ceil(nbytes/4)).  Returns [..., 8].
     """
     W = words.shape[-1]
-    assert W * 4 >= nbytes
+    if W * 4 < nbytes:
+        raise ValueError(f"hash_words: {W} words cannot hold {nbytes} bytes")
     nblocks = max(1, -(-nbytes // 64))
     lead = words.shape[:-1]
     h = jnp.broadcast_to(jnp.asarray(H0), lead + (8,))

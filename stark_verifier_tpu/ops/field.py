@@ -238,7 +238,8 @@ def is_zero_combo(pos: list, neg: list) -> jnp.ndarray:
     (main.rs:179-192) at a fraction of the elementwise cost.
     """
     n_terms = len(pos) + len(neg)
-    assert n_terms >= 2
+    if n_terms < 2:
+        raise ValueError(f"is_zero_combo needs >= 2 terms, got {n_terms}")
     shape = jnp.broadcast_shapes(*[t.shape for t in pos + neg])
     for t in pos + neg:
         debug.check_limbs(t, "is_zero_combo term")
@@ -509,7 +510,12 @@ def mul_sum_mod(pairs, extra=(), canonical: bool = True) -> jnp.ndarray:
     pairs = list(pairs)
     extra = list(extra)
     n = len(pairs)
-    assert 1 <= n <= 16 and len(extra) <= 8
+    if not (1 <= n <= 16 and len(extra) <= 8):
+        # EXACTNESS bound, not a debug check: more terms overflow the single
+        # shared fold (see the bound analysis above) -- must survive python -O
+        raise ValueError(
+            f"mul_sum_mod exactness bound: 1 <= n_pairs <= 16 (got {n}), "
+            f"n_extra <= 8 (got {len(extra)})")
     for a, b in pairs:
         debug.check_limbs(a, "mul_sum_mod lhs")
         debug.check_limbs(b, "mul_sum_mod rhs")

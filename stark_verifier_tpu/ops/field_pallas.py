@@ -212,7 +212,8 @@ def mul_mod_t(a_t: jnp.ndarray, b_t: jnp.ndarray, interpret: bool = False):
     """Limb-major fused modmul: [16, N] x [16, N] -> [16, N] canonical.
     N must be a multiple of LANE_TILE."""
     n = a_t.shape[1]
-    assert n % LANE_TILE == 0, n
+    if n % LANE_TILE:
+        raise ValueError(f"N={n} must be a LANE_TILE multiple")
     grid = (n // LANE_TILE,)
     spec = pl.BlockSpec((16, LANE_TILE), lambda i: (0, i),
                         memory_space=pltpu.VMEM)

@@ -82,9 +82,16 @@ def _make_row_kernel(ginv_limbs: tuple, inv4_limbs: tuple):
 def _rows_t(ys_t, sx_t, s2_t, x1i_t, x1sqi_t, ginv_limbs: tuple,
             inv4_limbs: tuple, interpret: bool = False):
     """Limb-major fused row check: ys [64, N], sx/s2/x1i/x1sqi [16, N] ->
-    [16, N] canonical evaluations.  N must be a LANE_TILE multiple."""
+    [16, N] canonical evaluations.  N must be a LANE_TILE multiple.
+
+    PRECONDITION: sx/s2/x1i/x1sqi must already be CANONICAL limbs -- the
+    kernel multiplies them without an internal _canon_cols pass (only the raw
+    ys rows are canonicalized in-kernel); eval4_rows establishes this via
+    F.canon(sx)/sqr_mod and the power-table gathers (tables are canonical by
+    construction).  Feeding raw limbs here computes wrong residues."""
     n = sx_t.shape[1]
-    assert n % LANE_TILE == 0, n
+    if n % LANE_TILE:
+        raise ValueError(f"N={n} must be a LANE_TILE multiple")
     grid = (n // LANE_TILE,)
 
     def spec(rows):

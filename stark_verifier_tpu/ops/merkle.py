@@ -260,6 +260,13 @@ def _dense_agree(vals, o, width):
     use_mxu = _AGREE_MXU
     if use_mxu is None:
         use_mxu = "1" if jax.default_backend() == "tpu" else "0"
+    elif use_mxu == "1" and vals.shape[-2] > 272:
+        # explicitly forced MXU must not silently run a different path --
+        # parity sweeps need to know which formulation actually executed
+        raise ValueError(
+            f"STARK_AGREE_MXU=1 forced, but group width {vals.shape[-2]} > "
+            "272 breaks the exact-f32 Cauchy-Schwarz bound "
+            "(_dense_agree_mxu); unset the env var to auto-fall-back")
     if use_mxu == "1" and vals.shape[-2] <= 272:
         return _dense_agree_mxu(vals, o, width)
     return _dense_agree_minmax(vals, o, width)

@@ -38,7 +38,8 @@ def _twiddle_stages(root: int, n: int, modulus: int) -> tuple:
     Returns a tuple of [2^s, 16] uint32 numpy arrays.
     """
     logn = n.bit_length() - 1
-    assert 1 << logn == n, "n must be a power of two"
+    if 1 << logn != n:
+        raise ValueError(f"n must be a power of two, got {n}")
     # all powers root^0 .. root^(n/2 - 1); the int chain is cheap, the limb
     # conversion goes through the bulk to_bytes path (2^20-size configs would
     # otherwise spend minutes in per-entry Python loops)

@@ -85,7 +85,8 @@ def _spot_t(raw_t, tab_t, pc_t, interpret: bool = False):
     """Limb-major fused spot checks -> [8, N] uint32 (rows 0..2 = the
     transition/boundary/lincomb ok bits).  N must be a LANE_TILE multiple."""
     n = raw_t.shape[1]
-    assert n % LANE_TILE == 0, n
+    if n % LANE_TILE:
+        raise ValueError(f"N={n} must be a LANE_TILE multiple")
     grid = (n // LANE_TILE,)
 
     def spec(rows):

@@ -94,10 +94,10 @@ def main():
 
     @jax.jit
     def fri_math_only(tree):
-        """FRI field math (pow/interp/eval), no Merkle."""
+        """FRI field math, no Merkle -- the PRODUCTION row check (even/odd
+        split with x1^-1/x1^-2 gathers, mirroring protocol/verify._fri_checks;
+        Pallas kernel when STARK_PALLAS=1, like the live verifier)."""
         fri = tree["fri"]
-        quartic_rous = jnp.asarray(tables.quartic_rous)
-
         root2 = fri["root2"]
         prev = jnp.concatenate([tree["l_merkle_root"][..., None, :],
                                 root2[..., :-1, :]], axis=-2)
@@ -109,16 +109,20 @@ def main():
         lvl_mult = jnp.asarray(np.array([4 ** l for l in range(5)],
                                         dtype=np.uint32))[:, None]
         e1 = (ys * lvl_mult) & mask
-        offs = jnp.arange(4, dtype=jnp.uint32) * jnp.uint32(16384)
-        nodes = jnp.take(g2t, (e1[..., None] + offs) & mask, axis=0)
-        x1cb = jnp.take(g2t, (jnp.uint32(3) * e1) & mask, axis=0)
-        x1cb_inv = jnp.take(g2t, (jnp.uint32(0) - jnp.uint32(3) * e1) & mask,
+        x1_inv = jnp.take(g2t, (jnp.uint32(0) - e1) & mask, axis=0)
+        x1sq_inv = jnp.take(g2t, (jnp.uint32(0) - jnp.uint32(2) * e1) & mask,
                             axis=0)
         rows = F.words_be_to_limbs(fri["poly_value"]).reshape(
             *fri["poly_value"].shape[:-2], 40, 4, fp.NLIMBS)
-        lhs = quartic.eval4_inv_free(
-            nodes, x1cb_inv, jnp.asarray(tables.quartic_winv), rows,
-            special_x)
+        if F.pallas_enabled():
+            from stark_verifier_tpu.ops import fri_pallas
+            lhs = fri_pallas.eval4_rows(
+                x1_inv, x1sq_inv, rows, special_x,
+                np.asarray(tables.quartic_ginv), np.asarray(tables.inv4))
+        else:
+            lhs = quartic.eval4_even_odd(
+                x1_inv, x1sq_inv, rows, special_x,
+                jnp.asarray(tables.quartic_ginv), jnp.asarray(tables.inv4))
         cv = F.words_be_to_limbs(fri["col_value"])
         return jnp.all(jnp.all(jnp.all(lhs == cv, -1), -1), -1)
 
