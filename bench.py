@@ -17,8 +17,53 @@ import numpy as np
 BASELINE_PROOFS_PER_S = 1 / 0.18  # Python oracle, 1 CPU core (BASELINE.md)
 
 
+def bench_stream(n_proofs: int, chunk: int):
+    """System throughput: N DISTINCT byte blobs through the full ingestion
+    path (parse -> stack -> H2D -> verify), the honest end-to-end metric --
+    the batch mode below times pure device compute on one replicated proof
+    (reference main() times deserialization too, main.rs:200-204)."""
+    import os
+    os.environ.setdefault("STARK_PALLAS", "1")
+    import time
+    import jax
+    import stark_verifier_tpu as sv
+    sv.enable_compile_cache()
+    from stark_verifier_tpu.parallel import mesh as M
+
+    with open("/root/reference/proof.bin", "rb") as f:
+        pb = f.read()
+    blobs = [bytes(pb) for _ in range(n_proofs)]   # distinct buffers
+
+    mesh = M.make_mesh(1)
+    # warm: compile the sharded verifier at the chunk shape
+    warm = list(M.verify_stream(blobs[:chunk], chunk=chunk, mesh=mesh))
+    assert all(v for _, v in warm)
+
+    t0 = time.perf_counter()
+    results = list(M.verify_stream(blobs, chunk=chunk, mesh=mesh))
+    dt = time.perf_counter() - t0
+    assert len(results) == n_proofs and all(v for _, v in results)
+    rate = n_proofs / dt
+    wire_mb = len(pb) * n_proofs / dt / 1e6
+    print(json.dumps({
+        "metric": "stream MiMC-STARK verifications/s (1 chip, "
+                  "parse+H2D+verify)",
+        "value": round(rate, 2),
+        "unit": "proofs/s",
+        "vs_baseline": round(rate / BASELINE_PROOFS_PER_S, 2),
+        "n_proofs": n_proofs, "chunk": chunk,
+        "wire_MBps": round(wire_mb, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
 def main():
     import os
+    if "--stream" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--stream"]
+        n = int(args[0]) if args else 4096
+        chunk = int(args[1]) if len(args) > 1 else 512
+        return bench_stream(n, chunk)
     # fused Pallas protocol kernels (ops/fri_pallas.py, ops/spot_pallas.py):
     # +29% measured (7,607 -> 9,796 proofs/s at batch 4096, docs/PERF.md);
     # opt out with STARK_PALLAS=0 if the Mosaic toolchain misbehaves

@@ -16,6 +16,8 @@ devices, and the same jitted function runs SPMD.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -88,9 +90,19 @@ def make_sharded_verifier(mesh: Mesh, cfg: StarkConfig | None = None,
     """Jitted batch verifier whose inputs/outputs are sharded over the mesh.
 
     Returns verify_fn(tree) -> (verdicts [batch] bool, all_ok scalar).  The
-    scalar AND forces the cross-chip reduction collective.
+    scalar AND forces the cross-chip reduction collective.  MEMOIZED on
+    (mesh, cfg, inp, axis_name, shared_merkle): jax.jit caches per function
+    object, so a fresh closure per call recompiles the whole sharded graph
+    (~7 min through the axon tunnel -- the round-3 stream bench spent its
+    entire runtime recompiling, docs/PERF.md system-throughput section).
     """
-    cfg = cfg or StarkConfig()
+    return _make_sharded_cached(mesh, cfg or StarkConfig(), inp, axis_name,
+                                shared_merkle)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_sharded_cached(mesh: Mesh, cfg: StarkConfig, inp: int,
+                         axis_name: str, shared_merkle: bool):
     inner, _tables = V.make_verifier(cfg, inp, shared_merkle=shared_merkle)
     out_shardings = (NamedSharding(mesh, P(axis_name)),
                      NamedSharding(mesh, P()))
@@ -116,76 +128,87 @@ def verify_batch(proof_trees: list, mesh: Mesh | None = None,
 
 def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = None,
                   cfg: StarkConfig | None = None, inp: int = 3,
-                  manifest: dict | None = None):
+                  manifest: dict | None = None, threads: int = 4):
     """Chunked verification of an arbitrarily large proof stream.
 
-    proof_blobs: iterable of serialized proof byte strings.  Proofs are
-    parsed (native fast path), batched into fixed-size chunks (padded with
-    the first proof so every chunk reuses one compiled shape), sharded over
-    the mesh, and verified; yields (global_index, verdict) pairs.  Malformed
-    proofs are rejected at parse time without aborting the stream
-    (the reference would panic, SURVEY.md 2.2.8).
+    proof_blobs: iterable of serialized proof byte strings.  Chunks of
+    `chunk` blobs are batch-ingested (proofio.ingest: thread-parallel native
+    scan/fill straight into reusable batch arrays -- no per-proof trees, no
+    np.stack), sharded over the mesh, and verified; yields (global_index,
+    verdict) pairs.  Malformed or family-mismatched proofs reject without
+    aborting the stream (the reference would panic, SURVEY.md 2.2.8).
 
     `manifest`, if given, is a dict recording completed chunk ids -- rerunning
     with the same manifest skips finished chunks (verification is pure, so
     checkpoint/resume is just a completed-chunk set, SURVEY.md section 5).
+
+    Ingestion is PIPELINED with device compute: a dispatched chunk's verdicts
+    are fetched only when the NEXT chunk is ready (jax dispatch is async), so
+    host-side parsing of chunk k+1 overlaps the device verifying chunk k --
+    the system-throughput levers measured in docs/PERF.md.
     """
-    from ..proofio import wire
+    from ..proofio import ingest
+    vcfg = cfg or StarkConfig()
     mesh = mesh or make_mesh()
     if chunk is None:
         chunk = 64 * mesh.devices.size
     d = mesh.devices.size
     chunk = -(-chunk // d) * d       # round up to a whole number per device
-    # one compiled verifier per Merkle-walk flavor: rectangular chunks take
-    # the shared-path walk, chunks containing a ragged proof the masked walk
-    fns = {}
+    # make_sharded_verifier is memoized, so both Merkle-walk flavors
+    # (rectangular -> shared-path walk, ragged -> masked lockstep) compile
+    # at most once per process
 
-    def fn_for(rect: bool):
-        if rect not in fns:
-            fns[rect] = make_sharded_verifier(mesh, cfg, inp,
-                                              shared_merkle=rect)
-        return fns[rect]
-
-    buf, idxs, pad_tree = [], [], None
+    buf, idxs = [], []
+    layout = None
     chunk_id = 0
+    pending = None           # (chunk_id, idxs, ok, device_verdicts) in flight
+
+    def collect(p):
+        cid, p_idxs, ok, dv = p
+        verdicts = np.asarray(dv)[:len(p_idxs)] & ok  # blocks on the device
+        if manifest is not None:
+            manifest[cid] = [bool(v) for v in verdicts]
+        return list(zip(p_idxs, (bool(v) for v in verdicts)))
 
     def flush():
-        nonlocal buf, idxs, chunk_id
+        nonlocal buf, idxs, chunk_id, pending, layout
         if not buf:
             return []
+        out = []
         if manifest is not None and chunk_id in manifest:
             out = [(i, manifest[chunk_id][k]) for k, i in enumerate(idxs)]
             buf, idxs = [], []
             chunk_id += 1
             return out
-        n = len(buf)
-        rect = all(pdevice.is_rectangular(t) for t in buf)
-        while len(buf) < chunk:
-            buf.append(pad_tree)
-        batch = shard_batch(pdevice.stack_proofs(buf), mesh)
-        verdicts, _ = fn_for(rect)(batch)
-        verdicts = np.asarray(verdicts)[:n]
-        out = list(zip(idxs, (bool(v) for v in verdicts)))
-        if manifest is not None:
-            manifest[chunk_id] = [bool(v) for v in verdicts]
+        tree, ok, layout = ingest.ingest_chunk(buf, vcfg, layout,
+                                               threads=threads, pad_to=chunk)
+        if tree is None:                      # nothing parseable
+            out = list(zip(idxs, [False] * len(idxs)))
+            if manifest is not None:
+                manifest[chunk_id] = [False] * len(idxs)
+            buf, idxs = [], []
+            chunk_id += 1
+            return out
+        rect = pdevice.is_rectangular(tree)
+        batch = shard_batch(tree, mesh)
+        # the ingest layout's numpy buffers are REUSED next chunk: wait for
+        # the H2D copies before they can be overwritten (the dispatch below
+        # stays async -- that is what the pipeline overlaps)
+        jax.block_until_ready(batch)
+        fn = make_sharded_verifier(mesh, vcfg, inp, shared_merkle=rect)
+        verdicts, _ = fn(batch)               # async dispatch
+        if pending is not None:
+            out = collect(pending)            # fetch the PREVIOUS chunk
+        pending = (chunk_id, idxs, ok, verdicts)
         buf, idxs = [], []
         chunk_id += 1
         return out
 
-    parse_failures = []
     for gi, blob in enumerate(proof_blobs):
-        try:
-            tree = pdevice.proof_tree(wire.parse_proof_fast(blob))
-        except wire.WireFormatError:
-            parse_failures.append((gi, False))
-            continue
-        if pad_tree is None:
-            pad_tree = tree
-        buf.append(tree)
+        buf.append(bytes(blob))
         idxs.append(gi)
         if len(buf) == chunk:
             yield from flush()
-        while parse_failures:
-            yield parse_failures.pop(0)
     yield from flush()
-    yield from parse_failures
+    if pending is not None:
+        yield from collect(pending)

@@ -1,0 +1,297 @@
+"""High-throughput batched proof ingestion: wire bytes -> batch pytree.
+
+The per-proof path (wire.parse_proof_fast -> device.proof_tree ->
+device.stack_proofs) costs ~3.5 ms/proof on this host: the native parser
+allocates per-proof arrays, proof_tree re-wraps them, and stack_proofs copies
+everything again into batch arrays.  At 566,508 wire bytes/proof that caps
+system throughput near 300 proofs/s/core while the TPU is >99% idle
+(docs/PERF.md system-throughput section).
+
+This module removes both copies: the batch arrays are allocated ONCE per
+chunk shape and the native fill pass (native/wire_parser.c svt_fill) writes
+each proof's values/siblings/witnesses DIRECTLY into its [i] slice -- the
+same two-pass scan/fill design, just with the destination strides coming
+from the batch layout.  Blobs whose scan metadata deviates from the chunk
+head's (ragged groups, different family) fall back to the per-proof path
+into the same slice; structurally invalid blobs are rejected with
+WireFormatError semantics (ok[i] = False).
+
+ctypes releases the GIL during svt_scan/svt_fill, so chunks parse on a
+thread pool (`threads=` arg) -- the wire-scan work scales across host cores.
+
+Reference: the Rust deserializer is single-proof, single-threaded
+(/root/reference/src/deserializer.rs:16-144); batching is new capability.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from . import device as pdevice
+from . import wire
+
+
+def _scan(lib, blob: bytes):
+    meta = np.zeros(2 + 6 * 66, dtype=np.int64)
+    rc = lib.svt_scan(blob, len(blob),
+                      meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                      meta.size)
+    return rc, meta
+
+
+class BatchLayout:
+    """Chunk-shape descriptor + the preallocated batch tree.
+
+    Built from the scan metadata of the first structurally valid blob;
+    reused across chunks of the same stream (alloc once, fill in place).
+    """
+
+    def __init__(self, meta: np.ndarray, batch: int):
+        self.batch = batch
+        self.n_levels = int(meta[0])
+        self.n_points = int(meta[1])
+        self.lv_meta = [tuple(int(x) for x in row)
+                        for row in meta[2:2 + 6 * self.n_levels].reshape(
+                            self.n_levels, 6)]
+        tm = meta[2 + 6 * self.n_levels: 2 + 6 * self.n_levels + 6]
+        self.main_meta = tuple(int(x) for x in tm[:3])
+        self.lin_meta = tuple(int(x) for x in tm[3:])
+        self.key = (self.n_levels, self.n_points,
+                    tuple(self.lv_meta), self.main_meta, self.lin_meta)
+
+        B = batch
+        u32 = np.uint32
+
+        def group(n, vs, d):
+            return {
+                "value": np.zeros((B, n, vs // 4), u32),
+                "sibling": np.zeros((B, n, vs // 4), u32),
+                "witness": np.zeros((B, n, d, 8), u32),
+                "depth": np.zeros((B, n), u32),
+            }
+
+        L = self.n_levels
+        self.tree = {
+            "merkle_root": np.zeros((B, 8), u32),
+            "l_merkle_root": np.zeros((B, 8), u32),
+            "fri": {
+                "root2": np.zeros((B, L, 8), u32),
+                "col_value": np.zeros((B, L, self.lv_meta[0][0],
+                                       self.lv_meta[0][1] // 4), u32),
+                "col_sibling": np.zeros((B, L, self.lv_meta[0][0],
+                                         self.lv_meta[0][1] // 4), u32),
+                "col_witness": [np.zeros((B, cm[0], cm[2], 8), u32)
+                                for cm in self.lv_meta],
+                "col_depth": np.zeros((B, L, self.lv_meta[0][0]), u32),
+                "poly_value": np.zeros((B, L, self.lv_meta[0][3],
+                                        self.lv_meta[0][4] // 4), u32),
+                "poly_sibling": np.zeros((B, L, self.lv_meta[0][3],
+                                          self.lv_meta[0][4] // 4), u32),
+                "poly_witness": [np.zeros((B, cm[3], cm[5], 8), u32)
+                                 for cm in self.lv_meta],
+                "poly_depth": np.zeros((B, L, self.lv_meta[0][3]), u32),
+            },
+            "points": np.zeros((B, self.n_points, 8), u32),
+            "main": group(*self.main_meta),
+            "lincomb": group(*self.lin_meta),
+        }
+        # scratch per-branch vsizes, one row per slot (checked then discarded)
+        self._vs_col = [np.zeros((B, cm[0]), u32) for cm in self.lv_meta]
+        self._vs_poly = [np.zeros((B, cm[3]), u32) for cm in self.lv_meta]
+        self._vs_main = np.zeros((B, self.main_meta[0]), u32)
+        self._vs_lin = np.zeros((B, self.lin_meta[0]), u32)
+        # fill strides: svt_fill reads vmax/dmax strides from the meta buffer
+        self._fill_meta = meta.copy()
+
+    def compatible(self, meta: np.ndarray) -> bool:
+        try:
+            other = (int(meta[0]), int(meta[1]),
+                     tuple(tuple(int(x) for x in row)
+                           for row in meta[2:2 + 6 * int(meta[0])].reshape(
+                               int(meta[0]), 6)),
+                     tuple(int(x) for x in
+                           meta[2 + 6 * int(meta[0]):2 + 6 * int(meta[0]) + 3]),
+                     tuple(int(x) for x in
+                           meta[2 + 6 * int(meta[0]) + 3:
+                                2 + 6 * int(meta[0]) + 6]))
+        except (ValueError, IndexError):
+            return False
+        return other == self.key
+
+    def fill_slot(self, lib, blob: bytes, i: int) -> None:
+        """Native fill of proof `blob` directly into batch slot i."""
+        t = self.tree
+        fri = t["fri"]
+
+        def vp(a):
+            return a.ctypes.data_as(ctypes.c_void_p)
+
+        def ptrs(arrs):
+            ty = ctypes.c_void_p * max(len(arrs), 1)
+            return ty(*[a.ctypes.data for a in arrs])
+
+        L = self.n_levels
+        root2 = [fri["root2"][i, l] for l in range(L)]
+        rc = lib.svt_fill(
+            blob, len(blob),
+            vp(t["merkle_root"][i]), vp(t["l_merkle_root"][i]),
+            ptrs(root2),
+            ptrs([fri["col_value"][i, l] for l in range(L)]),
+            ptrs([fri["col_sibling"][i, l] for l in range(L)]),
+            ptrs([fri["col_witness"][l][i] for l in range(L)]),
+            ptrs([self._vs_col[l][i] for l in range(L)]),
+            ptrs([fri["col_depth"][i, l] for l in range(L)]),
+            ptrs([fri["poly_value"][i, l] for l in range(L)]),
+            ptrs([fri["poly_sibling"][i, l] for l in range(L)]),
+            ptrs([fri["poly_witness"][l][i] for l in range(L)]),
+            ptrs([self._vs_poly[l][i] for l in range(L)]),
+            ptrs([fri["poly_depth"][i, l] for l in range(L)]),
+            self._fill_meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            vp(t["points"][i]),
+            vp(t["main"]["value"][i]), vp(t["main"]["sibling"][i]),
+            vp(t["main"]["witness"][i]), vp(self._vs_main[i]),
+            vp(t["main"]["depth"][i]),
+            vp(t["lincomb"]["value"][i]), vp(t["lincomb"]["sibling"][i]),
+            vp(t["lincomb"]["witness"][i]), vp(self._vs_lin[i]),
+            vp(t["lincomb"]["depth"][i]),
+        )
+        if rc:
+            raise wire.WireFormatError(f"fill error {rc}")
+
+    def copy_slot_from_tree(self, src: dict, i: int) -> None:
+        """Slow-path: copy a per-proof pytree into batch slot i (shape-checked
+        by numpy assignment)."""
+        import jax
+
+        def put(dst, s):
+            dst[i][...] = s
+
+        jax.tree.map(put, self.tree, src)
+
+    def validate_slot(self, cfg, i: int) -> None:
+        """Family-shape checks mirroring wire.validate_proof on slot i."""
+        if self.n_levels != cfg.fri_levels:
+            raise wire.WireFormatError(
+                f"proof has {self.n_levels} FRI levels; family expects "
+                f"{cfg.fri_levels}")
+        q = cfg.fri_queries
+
+        def chk(n_want, vs_want, n_got, vsizes, depths, name):
+            if n_got != n_want:
+                raise wire.WireFormatError(
+                    f"{name}: {n_got} branches; family expects {n_want}")
+            if not (vsizes == vs_want).all():
+                raise wire.WireFormatError(f"{name}: non-family value size")
+            if depths.min() < 1:
+                raise wire.WireFormatError(f"{name}: zero-depth witness")
+
+        fri = self.tree["fri"]
+        for l, cm in enumerate(self.lv_meta):
+            chk(q, 32, cm[0], self._vs_col[l][i], fri["col_depth"][i, l],
+                f"FRI level {l} column")
+            chk(4 * q, 32, cm[3], self._vs_poly[l][i],
+                fri["poly_depth"][i, l], f"FRI level {l} poly")
+        chk(2 * cfg.spot_checks, 96, self.main_meta[0], self._vs_main[i],
+            self.tree["main"]["depth"][i], "main branches")
+        chk(cfg.spot_checks, 32, self.lin_meta[0], self._vs_lin[i],
+            self.tree["lincomb"]["depth"][i], "lincomb branches")
+        if self.n_points != cfg.fri_final_domain:
+            raise wire.WireFormatError(
+                f"POINTS element has {self.n_points} values; family expects "
+                f"{cfg.fri_final_domain}")
+
+
+def ingest_chunk(blobs: list, cfg, layout: BatchLayout | None = None,
+                 threads: int = 4, pad_to: int | None = None):
+    """Parse a chunk of wire blobs into ONE batch pytree.
+
+    Returns (batch_tree, ok, layout): batch_tree is the [pad_to or
+    len(blobs), ...] numpy pytree (the slot of a failed blob -- and every pad
+    slot past len(blobs) -- holds the first valid proof; callers mask by
+    `ok`, length len(blobs)), ok a bool array, and the (reusable)
+    BatchLayout.  Thread-parallel native scan+fill; per-blob failures reject
+    without aborting (the reference would panic, SURVEY.md 2.2.8).
+    """
+    from .. import native
+    lib = native.get_lib()
+    if lib is None:  # pragma: no cover - no C compiler
+        return _ingest_chunk_slow(blobs, cfg, layout, pad_to)
+
+    B = len(blobs)
+    alloc = max(pad_to or B, B)
+    ok = np.zeros(B, dtype=bool)
+
+    metas = [None] * B
+
+    def scan_one(j):
+        rc, meta = _scan(lib, blobs[j])
+        metas[j] = None if rc else meta
+
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        list(ex.map(scan_one, range(B)))
+
+    if layout is None or layout.batch < alloc:
+        for m in metas:
+            if m is not None:
+                layout = BatchLayout(m, alloc)
+                break
+        else:
+            return None, ok, layout     # nothing parseable in this chunk
+
+    def fill_one(j):
+        m = metas[j]
+        if m is None:
+            return
+        try:
+            if layout.compatible(m):
+                layout.fill_slot(lib, blobs[j], j)
+                layout.validate_slot(cfg, j)
+            else:
+                # structural outlier (ragged/extra padding): per-proof path
+                p = wire.parse_proof_fast(blobs[j],
+                                          allow_trailing=not cfg.strict)
+                wire.validate_proof(p, cfg)
+                layout.copy_slot_from_tree(pdevice.proof_tree(p), j)
+            ok[j] = True
+        except (wire.WireFormatError, ValueError):
+            ok[j] = False
+
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        list(ex.map(fill_one, range(B)))
+
+    if not ok.any():
+        return None, ok, layout
+    # failed and pad slots get the first valid proof so the whole batch
+    # verifies under one compiled shape; their verdicts are masked by `ok`
+    first = int(np.flatnonzero(ok)[0])
+    for j in list(np.flatnonzero(~ok)) + list(range(B, layout.batch)):
+        _copy_slot(layout.tree, first, int(j))
+    return layout.tree, ok, layout
+
+
+def _copy_slot(tree, src: int, dst: int) -> None:
+    import jax
+    jax.tree.map(lambda a: a.__setitem__(dst, a[src]), tree)
+
+
+def _ingest_chunk_slow(blobs, cfg, layout, pad_to=None):
+    """Pure-Python fallback (no C compiler): per-proof parse + stack."""
+    trees, ok = [], np.zeros(len(blobs), dtype=bool)
+    golden = None
+    for j, b in enumerate(blobs):
+        try:
+            t = pdevice.proof_tree(wire.parse_and_validate(bytes(b), cfg))
+            trees.append(t)
+            ok[j] = True
+            golden = t
+        except wire.WireFormatError:
+            trees.append(None)
+    if golden is None:
+        return None, ok, layout
+    trees = [t if t is not None else golden for t in trees]
+    while pad_to and len(trees) < pad_to:
+        trees.append(golden)
+    return pdevice.stack_proofs(trees), ok, layout

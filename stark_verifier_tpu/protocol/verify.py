@@ -191,14 +191,14 @@ def points_direct_check(points_words, tables: StatementTables,
     used = jnp.take(data, jnp.asarray(pts[:deg]), axis=-2)  # [..., D, 16]
     held = jnp.take(data, jnp.asarray(pts[deg:]), axis=-2)  # [..., H, 16]
     m = jnp.asarray(tables.points_eval_matrix)             # [H, D, 16]
-    if deg <= 16:
-        # all D products of the evaluation-matrix row sum through ONE fold
-        # (field.mul_sum_mod; D = 16 is its exactness bound)
-        pred = F.mul_sum_mod(
-            [(m[..., i, :], used[..., None, i, :]) for i in range(deg)])
-    else:
-        terms = F.mul_mod(m, used[..., None, :, :])        # [..., H, D, 16]
-        pred = F._sum_mod(terms, axis=-2)                  # [..., H, 16]
+    # deg = (2*num_steps) >> 2*fri_levels is 8 or 16 for every power-of-two
+    # num_steps (folding by 4 stops at <= 16), so all D products of the
+    # evaluation-matrix row always sum through ONE fold (field.mul_sum_mod;
+    # D = 16 is exactly its exactness bound)
+    if deg > 16:
+        raise ValueError(f"unconstructible config: final FRI degree {deg}")
+    pred = F.mul_sum_mod(
+        [(m[..., i, :], used[..., None, i, :]) for i in range(deg)])
     # canonical evaluation vs the RAW held-out value, like every other
     # committed-value comparison (a non-canonical byte encoding never equals
     # the canonical evaluation)
@@ -394,9 +394,19 @@ def make_verifier(cfg: StarkConfig | None = None, inp: int = 3,
     reference also computes it outside the verification path, main.rs:205-218;
     ops.mimc.mimc is the device scan for trace generation).  Works for single
     proofs (no batch axis) and stacked batches.
+
+    MEMOIZED on (cfg, inp, shared_merkle): jax.jit caches per function
+    object, so a fresh closure per call would recompile the whole verifier
+    graph (~4 min on TPU through the axon remote-compile tunnel) -- repeated
+    library/stream calls must reuse one compiled fn.  (Debug-mode wrapping
+    reads STARK_DEBUG at first-build time, like every other trace-time flag.)
     """
+    return _make_verifier_cached(cfg or StarkConfig(), inp, shared_merkle)
+
+
+@functools.lru_cache(maxsize=16)
+def _make_verifier_cached(cfg: StarkConfig, inp: int, shared_merkle: bool):
     from ..config import cached_tables
-    cfg = cfg or StarkConfig()
     tables = cached_tables(cfg)
     if not cfg.sanity_ok():
         raise ValueError("statement fails reference sanity checks")
@@ -422,10 +432,16 @@ def make_chunked_verifier(cfg: StarkConfig | None = None, inp: int = 3,
     batches pressure VMEM/HBM working sets -- docs/PERF.md); chunking keeps
     arbitrarily large batches at the peak rate with a single dispatch.
     Batch must be a multiple of `chunk` (pad with any proof and ignore the
-    verdicts, as verify_stream does).
+    verdicts, as verify_stream does).  Memoized like make_verifier.
     """
+    return _make_chunked_cached(cfg or StarkConfig(), inp, chunk,
+                                shared_merkle)
+
+
+@functools.lru_cache(maxsize=16)
+def _make_chunked_cached(cfg: StarkConfig, inp: int, chunk: int,
+                         shared_merkle: bool):
     from ..config import cached_tables
-    cfg = cfg or StarkConfig()
     tables = cached_tables(cfg)
     if not cfg.sanity_ok():
         raise ValueError("statement fails reference sanity checks")
@@ -434,7 +450,9 @@ def make_chunked_verifier(cfg: StarkConfig | None = None, inp: int = 3,
     @jax.jit
     def verify_fn(tree):
         batch = tree["merkle_root"].shape[0]
-        assert batch % chunk == 0, (batch, chunk)
+        if batch % chunk:
+            raise ValueError(
+                f"batch {batch} must be a multiple of chunk {chunk}")
         k = batch // chunk
         ctree = jax.tree.map(
             lambda x: x.reshape((k, chunk) + x.shape[1:]), tree)
@@ -461,10 +479,14 @@ def make_general_verifier(cfg: StarkConfig | None = None,
     proof batch if unbatched) and constants_limbs [k, 16] runtime round
     constants (k must match cfg.num_constants; it shapes the device iNTT).
     The modulus stays compile-time: the limb arithmetic is specialized to
-    p = 2^256 - 351*2^32 + 1.
+    p = 2^256 - 351*2^32 + 1.  Memoized like make_verifier.
     """
+    return _make_general_cached(cfg or StarkConfig(), shared_merkle)
+
+
+@functools.lru_cache(maxsize=16)
+def _make_general_cached(cfg: StarkConfig, shared_merkle: bool):
     from ..config import cached_tables
-    cfg = cfg or StarkConfig()
     tables = cached_tables(cfg)
     if not cfg.sanity_ok():
         raise ValueError("statement fails reference sanity checks")

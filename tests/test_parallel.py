@@ -36,3 +36,24 @@ def test_graft_entry_dryrun():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_cli_bench_mesh(proof_bytes, tmp_path, capsys):
+    """`cli bench --devices N` routes through the sharded verifier and emits
+    an n_devices-aware report plus the scaling-efficiency line (the moment
+    real multi-chip hardware exists this is the BASELINE >=80% entry point;
+    numbers on the CPU mesh are meaningless -- this pins the plumbing)."""
+    import json
+    from stark_verifier_tpu import cli
+
+    rc = cli.main(["bench", "/root/reference/proof.bin", "--batch", "8",
+                   "--devices", "8", "--iters", "1",
+                   "--ref-single-chip", "100"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    report = json.loads(lines[0])
+    assert report["n_devices"] == 8 and report["batch"] == 8
+    assert abs(report["proofs_per_s_per_chip"] * 8
+               - report["proofs_per_s"]) <= 0.1 * report["proofs_per_s"]
+    eff = json.loads(lines[1])
+    assert eff["scaling_efficiency"] > 0
