@@ -30,6 +30,10 @@ class StarkConfig:
     fri_queries: int = 40          # reference: src/main.rs:56
     strict: bool = False           # False = bit-exact parity with the
                                    # reference's soundness gaps (SURVEY 2.2.10)
+    power: int = 3                 # transition x <- x^power + k_i: 3 is the
+                                   # reference's MiMC family (utils.rs:12);
+                                   # 2 is the square family (models/square.py)
+                                   # -- the AIR parameter models/ dispatches on
 
     @property
     def num_steps(self) -> int:
@@ -76,7 +80,8 @@ class StarkConfig:
             return x != 0 and (x & (x - 1)) == 0
         return (self.num_steps <= 2**32 // self.extension_factor
                 and pow2(self.num_steps) and pow2(nc)
-                and nc <= self.num_steps)
+                and nc <= self.num_steps
+                and self.power in (2, 3))
 
 
 class StatementTables:

@@ -10,3 +10,9 @@ models.mimc; new families plug in by subclassing StatementFamily.
 
 from .base import StatementFamily  # noqa: F401
 from . import mimc  # noqa: F401
+from . import square  # noqa: F401
+
+FAMILIES = {
+    "mimc": mimc.MimcStatement,        # the reference's AIR (x^3 + k)
+    "square": square.SquareStatement,  # second family (x^2 + k)
+}

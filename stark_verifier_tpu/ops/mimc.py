@@ -17,21 +17,25 @@ from .. import fp
 from . import field as F
 
 
-def mimc(inp: jnp.ndarray, steps: int, round_constants: jnp.ndarray) -> jnp.ndarray:
+def mimc(inp: jnp.ndarray, steps: int, round_constants: jnp.ndarray,
+         power: int = 3) -> jnp.ndarray:
     """inp: [..., 16] canonical; round_constants: [k, 16]. Returns [..., 16].
 
-    Computes steps-1 rounds of x <- x^3 + c_{i mod k} (mod p).
+    Computes steps-1 rounds of x <- x^power + c_{i mod k} (mod p); power 3 is
+    the reference MiMC family (utils.rs:8-16), power 2 the square family
+    (models/square.py).
     """
+    if power not in (2, 3):
+        raise ValueError(f"unsupported transition power {power}")
     k = round_constants.shape[0]
     idx = np.arange(steps - 1, dtype=np.int32) % k
     ks = jnp.take(round_constants, jnp.asarray(idx), axis=0)   # [steps-1, 16]
 
     def round_(x, c):
-        # x^2 * x + c through one fold reduction (field.mul_sum_mod): two
-        # folds per round instead of two folds + a stacked add normalization
-        x2 = F.sqr_mod(x)
-        nxt = F.mul_sum_mod([(x2, x)],
-                            extra=[jnp.broadcast_to(c, x.shape)])
+        # x^(power-1) * x + c through one fold reduction (field.mul_sum_mod):
+        # minimal folds per round (no stacked add normalization)
+        pairs = [(F.sqr_mod(x), x)] if power == 3 else [(x, x)]
+        nxt = F.mul_sum_mod(pairs, extra=[jnp.broadcast_to(c, x.shape)])
         return nxt, None
 
     out, _ = lax.scan(round_, inp, ks)
@@ -45,7 +49,7 @@ def round_constants_mimc(n: int = 64) -> np.ndarray:
 
 
 def mimc_host(inp: int, steps: int, constants: list[int] | None = None,
-              modulus: int = fp.MODULUS) -> int:
+              modulus: int = fp.MODULUS, power: int = 3) -> int:
     """Host (exact-int) MiMC output -- the claimed output is a statement-level
     constant, so the batched verifier precomputes it once on host instead of
     re-running the 8191-step scan on device per jit invocation (the reference
@@ -55,5 +59,5 @@ def mimc_host(inp: int, steps: int, constants: list[int] | None = None,
     out = inp
     n = len(constants)
     for i in range(steps - 1):
-        out = (out ** 3 + constants[i % n]) % modulus
+        out = (out ** power + constants[i % n]) % modulus
     return out

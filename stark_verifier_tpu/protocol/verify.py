@@ -334,7 +334,8 @@ def verify_mimc_proof(tree, inp, output_limbs, tables: StatementTables,
     # the three constraint families (main.rs:179-192), each a single-fold
     # multi-term accumulation compared limb-exact against the canonicalized
     # committed value:
-    #   transition  P(g1 x) == P^2*P + Z*D + K
+    #   transition  P(g1 x) == P^(power) + Z*D + K   (power = 3: the
+    #               reference MiMC AIR; power = 2: models/square.py)
     #   boundary    P(x)    == B*Z2 + I1*x + I0
     #   lincomb     L(x)    == k1*P + k2*P*x^s + k3*B + k4*B*x^s + D
     # (raw unreduced k's -- main.rs:188-192; SURVEY 2.2.3)
@@ -347,7 +348,7 @@ def verify_mimc_proof(tree, inp, output_limbs, tables: StatementTables,
         ks4 = jnp.stack(ks, axis=-2)                   # [..., 4, 16]
         oks = spot_pallas.spot_checks(
             raw5, tab5, ks4[..., None, :, :], i_c1[..., None, :],
-            i_c0[..., None, :])                        # [..., 80, 3]
+            i_c0[..., None, :], power=cfg.power)       # [..., 80, 3]
         checks.append(jnp.all(jnp.all(oks, axis=-1), axis=-1))
     else:
         p_of_x = F.canon(p_raw)
@@ -356,8 +357,13 @@ def verify_mimc_proof(tree, inp, output_limbs, tables: StatementTables,
         b_of_x = F.canon(b_raw)
         l_of_x = F.canon(l_raw)
 
-        p_sq = F.sqr_mod(p_of_x)
-        rhs_t = F.mul_sum_mod([(p_sq, p_of_x), (z, d_of_x)], extra=[k_of_x])
+        if cfg.power == 3:
+            p_pow = [(F.sqr_mod(p_of_x), p_of_x)]
+        elif cfg.power == 2:
+            p_pow = [(p_of_x, p_of_x)]
+        else:
+            raise ValueError(f"unsupported transition power {cfg.power}")
+        rhs_t = F.mul_sum_mod(p_pow + [(z, d_of_x)], extra=[k_of_x])
         t_ok = jnp.all(p_of_g1x == rhs_t, axis=-1)
         checks.append(jnp.all(t_ok, axis=-1))
 
@@ -410,7 +416,10 @@ def _make_verifier_cached(cfg: StarkConfig, inp: int, shared_merkle: bool):
     tables = cached_tables(cfg)
     if not cfg.sanity_ok():
         raise ValueError("statement fails reference sanity checks")
-    out_limbs = fp.int_to_limbs(mimc_ops.mimc_host(inp, cfg.num_steps))
+    out_limbs = fp.int_to_limbs(mimc_ops.mimc_host(
+        inp, cfg.num_steps,
+        constants=[(i ** 7) ^ 42 for i in range(cfg.num_constants)],
+        power=cfg.power))
 
     @jax.jit
     def verify_fn(tree):
@@ -445,7 +454,10 @@ def _make_chunked_cached(cfg: StarkConfig, inp: int, chunk: int,
     tables = cached_tables(cfg)
     if not cfg.sanity_ok():
         raise ValueError("statement fails reference sanity checks")
-    out_limbs = fp.int_to_limbs(mimc_ops.mimc_host(inp, cfg.num_steps))
+    out_limbs = fp.int_to_limbs(mimc_ops.mimc_host(
+        inp, cfg.num_steps,
+        constants=[(i ** 7) ^ 42 for i in range(cfg.num_constants)],
+        power=cfg.power))
 
     @jax.jit
     def verify_fn(tree):

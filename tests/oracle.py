@@ -313,12 +313,14 @@ def fft_fwd(v: list[int], root_of_unity: int, m: int = MODULUS) -> list[int]:
     return _fft(v, roots, m)
 
 
-def mimc(inp: int, steps: int, round_constants: list[int], m: int = MODULUS) -> int:
-    """MiMC permutation; note the reference runs steps-1 iterations (utils.rs:11)."""
+def mimc(inp: int, steps: int, round_constants: list[int], m: int = MODULUS,
+         power: int = 3) -> int:
+    """MiMC permutation; note the reference runs steps-1 iterations
+    (utils.rs:11).  power 2 = the square family (models/square.py)."""
     out = inp
     n = len(round_constants)
     for i in range(steps - 1):
-        out = (out ** 3 + round_constants[i % n]) % m
+        out = (out ** power + round_constants[i % n]) % m
     return out
 
 
@@ -405,7 +407,7 @@ def verify_low_degree_proof(merkle_root: bytes, root_of_unity: int, fri_levels,
 def verify_mimc_proof(inp: int, num_steps: int, round_constants: list[int],
                       output: int, proof: StarkProof, m: int = MODULUS,
                       trace: dict | None = None,
-                      parity_guards: bool = True) -> bool:
+                      parity_guards: bool = True, power: int = 3) -> bool:
     if num_steps > 2**32 // EXTENSION_FACTOR:
         return False
     def is_pow2(n):
@@ -473,7 +475,7 @@ def verify_mimc_proof(inp: int, num_steps: int, round_constants: list[int],
         z = (x_to_steps - 1) * inv((x - last_step_position) % m, m) % m
         k_of_x = eval_poly_at(minipoly, pow(x, skips2, m), m)
 
-        if (p_of_g1x - p_of_x**3 - k_of_x - z * d_of_x) % m != 0:
+        if (p_of_g1x - p_of_x**power - k_of_x - z * d_of_x) % m != 0:
             raise AssertionError("transition constraints check failed")
         if (p_of_x - b_of_x * eval_poly_at(zeropoly2, x, m)
                 - eval_poly_at(interpolant, x, m)) % m != 0:
