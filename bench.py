@@ -68,6 +68,9 @@ def main():
     # +29% measured (7,607 -> 9,796 proofs/s at batch 4096, docs/PERF.md);
     # opt out with STARK_PALLAS=0 if the Mosaic toolchain misbehaves
     os.environ.setdefault("STARK_PALLAS", "1")
+    # fused Pallas whole-walk Merkle kernels (ops/merkle_pallas.py): +25.5%
+    # measured (18,237 -> 22,886 proofs/s at batch 8192, docs/PERF.md r4)
+    os.environ.setdefault("STARK_PALLAS_WALK", "1")
     import jax
     import stark_verifier_tpu as sv
     sv.enable_compile_cache()

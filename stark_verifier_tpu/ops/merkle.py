@@ -166,6 +166,17 @@ def _flog2(n: int) -> int:
     return n.bit_length() - 1
 
 
+def _pallas_walk_mode() -> str:
+    """Fused Pallas whole-walk kernels for the shared-bottom full-width
+    levels (ops/merkle_pallas.walk_leaf_levels / chain_levels): measured
+    1.45x faster in-graph than the XLA lockstep scan at the main-walk shapes
+    (tools/microbench_walk.py; docs/PERF.md round-4).
+
+    STARK_PALLAS_WALK: "1" = Mosaic kernels (TPU), "interpret" = interpreter
+    mode (CPU equivalence tests), anything else = XLA scan path."""
+    return _os.environ.get("STARK_PALLAS_WALK", "0")
+
+
 # dedup the top (_TAIL_CAP + 1) tree levels; see the t0 comment in
 # _shared_bottom for the cost model (tunable for re-sweeps on new hardware)
 _TAIL_CAP = int(_os.environ.get("STARK_SHARED_TAIL", "4"))
@@ -287,6 +298,27 @@ def _shared_bottom(group: dict) -> dict:
     ti0 = jnp.uint32(1 << (w + 2)) + idx
 
     val, sib = group["value"], group["sibling"]
+    walk_mode = _pallas_walk_mode()
+    pallas_walk = walk_mode in ("1", "interpret")
+    interp = walk_mode == "interpret"
+    if pallas_walk and not group.get("quad"):
+        # fused leaf + full-width levels in one Pallas kernel (digests stay
+        # in vector registers between levels); the dense-tail dedup below is
+        # unchanged.  t0 must be computed first -- duplicate the formula.
+        t0_p = max(1, w - min(_flog2(max(1, n - 1)), _TAIL_CAP))
+        from . import merkle_pallas
+        res = merkle_pallas.walk_leaf_levels(
+            val, sib, witness, ti0, levels=t0_p - 1, interpret=interp)
+        ti = ti0 >> jnp.uint32(t0_p)
+        we = 1 << (w + 1 - t0_p)
+        o = (ti - jnp.uint32(1 << (w + 2 - t0_p))).astype(jnp.int32)
+        state, valid, agree = _dense_agree(res, o, we)
+        return {
+            "n": n, "w": w, "t0": t0_p, "tail_len": w - t0_p + 1,
+            "ok": jnp.logical_and(ok, agree),
+            "root": group["root"], "wit": witness, "ti0": ti0,
+            "state": state, "valid": valid,
+        }
     if group.get("quad"):
         # Sibling-quad form (FRI poly groups): branch 4k+i queries position
         # y_k + (rou_deg/4)*i, whose PERMUTED index is 4*y_k + i
@@ -356,16 +388,24 @@ def _shared_bottom(group: dict) -> dict:
     # the structural sharing lives) leave the full-width scan.
     t0 = max(consumed, w - min(_flog2(max(1, n_eff - 1)), _TAIL_CAP))
     if t0 > consumed:
-        wit_b = jnp.moveaxis(witness[..., consumed - 1:t0 - 1, :], -2, 0)
+        if pallas_walk:
+            # quad groups: XLA pair+combine above, fused chain kernel here
+            from . import merkle_pallas
+            res = merkle_pallas.chain_levels(
+                res, witness[..., consumed - 1:t0 - 1, :], ti,
+                levels=t0 - consumed, interpret=interp)
+            ti = ti >> jnp.uint32(t0 - consumed)
+        else:
+            wit_b = jnp.moveaxis(witness[..., consumed - 1:t0 - 1, :], -2, 0)
 
-        def step(carry, w_t):
-            res, ti = carry
-            odd = (ti & 1).astype(bool)[..., None]
-            res = blake2s.hash_pair(jnp.where(odd, w_t, res),
-                                    jnp.where(odd, res, w_t))
-            return (res, ti >> 1), None
+            def step(carry, w_t):
+                res, ti = carry
+                odd = (ti & 1).astype(bool)[..., None]
+                res = blake2s.hash_pair(jnp.where(odd, w_t, res),
+                                        jnp.where(odd, res, w_t))
+                return (res, ti >> 1), None
 
-        (res, ti), _ = lax.scan(step, (res, ti), wit_b)
+            (res, ti), _ = lax.scan(step, (res, ti), wit_b)
 
     # dense switchover: live keys ti = ti0 >> t0 span one aligned interval,
     # so (key - base) is the node's slot.  Branches sharing a node must agree

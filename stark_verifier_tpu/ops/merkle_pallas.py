@@ -39,8 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import blake2s
 
-SUB_TILE = 32            # sublane rows per grid step
-LANE_TILE = SUB_TILE * 128   # branches per grid step
+# Default sublane rows per grid step.  Round-4 finding: the whole-walk
+# kernel's cost is LATENCY-bound, not throughput-bound -- each compression is
+# a ~1,200-op dependency chain, and with a small tile every op only covers
+# SUB_TILE*128/1024 vregs of independent work, so the VPU pipeline stalls
+# between dependent ops.  Bigger tiles amortize the latency (see
+# tools/microbench_walk.py sweep in docs/PERF.md).
+SUB_TILE = 32
 
 _IV = [int(v) for v in blake2s.IV]
 _H0 = [int(v) for v in blake2s.H0]
@@ -90,7 +95,8 @@ def _hash_words(words: list, nbytes: int) -> list:
     """Blake2s-256 of a static-size message given as word lane vectors."""
     T = words[0].shape
     nblocks = max(1, -(-nbytes // 64))
-    assert len(words) * 4 >= nbytes
+    if len(words) * 4 < nbytes:
+        raise ValueError(f"{len(words)} words cannot hold {nbytes} bytes")
     h = [jnp.full(T, np.uint32(hv), jnp.uint32) for hv in _H0]
     zero = jnp.zeros(T, jnp.uint32)
     for blk in range(nblocks):
@@ -147,18 +153,171 @@ def _make_walk_kernel(vw: int, max_depth: int):
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# Round-4 production variants: STATIC-depth partial walks for the shared-path
+# bottom (ops/merkle._shared_bottom).  Rectangular groups walk every lane to
+# the same (static) level count, so the per-level activity select of the
+# masked kernel above disappears; the walk stops after `levels` witness
+# levels and hands the running digests to the XLA dense-tail machinery.
+# Measured 1.45x faster in-graph than the XLA lockstep scan at the main-walk
+# shapes (tools/microbench_walk.py; docs/PERF.md round-4 section).
+# ---------------------------------------------------------------------------
+
+def _chain_steps(res, ti, witness_ref, levels: int):
+    def step(k, carry):
+        res, ti = carry
+        wit = [witness_ref[pl.dslice(k * 8 + i, 1), :, :][0]
+               for i in range(8)]
+        odd = ti & 1
+        m = ([_sel(odd, w, r) for w, r in zip(wit, res)]
+             + [_sel(odd, r, w) for w, r in zip(wit, res)])
+        res = _hash_words(m, 64)
+        return res, ti >> 1
+
+    return jax.lax.fori_loop(0, levels, step, (res, ti))
+
+
+def _make_leaf_walk_kernel(vw: int, levels: int):
+    """Leaf pair-hash + `levels` static witness levels, no depth masking."""
+
+    def kernel(value_ref, sibling_ref, witness_ref, tidx_ref, out_ref):
+        ti = tidx_ref[0]
+        val = [value_ref[i] for i in range(vw)]
+        sib = [sibling_ref[i] for i in range(vw)]
+        odd = ti & 1
+        first = ([_sel(odd, s, v) for s, v in zip(sib, val)]
+                 + [_sel(odd, v, s) for s, v in zip(sib, val)])
+        res = _hash_words(first, 8 * vw)
+        res, _ = _chain_steps(res, ti >> 1, witness_ref, levels)
+        for i in range(8):
+            out_ref[i] = res[i]
+
+    return kernel
+
+
+def _make_chain_kernel(levels: int):
+    """`levels` static witness levels from a given running digest (the
+    quad-subtree groups enter here after the XLA pair+combine hashes)."""
+
+    def kernel(h_ref, witness_ref, tidx_ref, out_ref):
+        ti = tidx_ref[0]
+        res = [h_ref[i] for i in range(8)]
+        res, _ = _chain_steps(res, ti, witness_ref, levels)
+        for i in range(8):
+            out_ref[i] = res[i]
+
+    return kernel
+
+
+def _tile_call(kernel, ins, row_counts, nr, sub_tile, interpret):
+    grid = (nr // sub_tile,)
+
+    def spec(rows):
+        return pl.BlockSpec((rows, sub_tile, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, nr, 128), jnp.uint32),
+        grid=grid,
+        in_specs=[spec(r) for r in row_counts],
+        out_specs=spec(8),
+        interpret=interpret,
+    )(*ins)
+
+
+class _Tiler:
+    """[N, rows] <-> [rows, N/128, 128] word-major adapters with padding."""
+
+    def __init__(self, lead, sub_tile: int):
+        self.lead = lead
+        self.n = int(np.prod(lead)) if lead else 1
+        lane = sub_tile * 128
+        self.npad = -(-self.n // lane) * lane
+        self.nr = self.npad // 128
+
+    def to(self, x, rows: int):
+        x = x.reshape((self.n, rows))
+        if self.npad != self.n:
+            x = jnp.concatenate(
+                [x, jnp.zeros((self.npad - self.n, rows), jnp.uint32)])
+        return x.T.reshape(rows, self.nr, 128)
+
+    def back(self, out):
+        return out.reshape(8, self.npad).T[:self.n].reshape(self.lead + (8,))
+
+
+@functools.partial(jax.jit, static_argnames=("vw", "levels", "interpret",
+                                             "sub_tile"))
+def _leaf_walk_t(value_t, sibling_t, witness_t, tidx, vw: int, levels: int,
+                 interpret: bool = False, sub_tile: int = SUB_TILE):
+    nr = value_t.shape[1]
+    return _tile_call(_make_leaf_walk_kernel(vw, levels),
+                      (value_t, sibling_t, witness_t, tidx),
+                      (vw, vw, max(levels, 1) * 8, 1), nr, sub_tile,
+                      interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "interpret",
+                                             "sub_tile"))
+def _chain_t(h_t, witness_t, tidx, levels: int, interpret: bool = False,
+             sub_tile: int = SUB_TILE):
+    nr = h_t.shape[1]
+    return _tile_call(_make_chain_kernel(levels),
+                      (h_t, witness_t, tidx),
+                      (8, max(levels, 1) * 8, 1), nr, sub_tile, interpret)
+
+
+def walk_leaf_levels(value_words, sibling_words, witness_words, tree_index,
+                     levels: int, interpret: bool = False):
+    """Leaf hash + the first `levels` witness levels of a RECTANGULAR group.
+
+    value/sibling [..., vw]; witness_words [..., >=levels, 8]; tree_index
+    [...] the 2^(w+2)+permuted start index.  Returns the [..., 8] digests
+    after `levels` halvings past the leaf (caller continues with
+    ti >> (levels+1))."""
+    lead = value_words.shape[:-1]
+    vw = value_words.shape[-1]
+    t = _Tiler(lead, SUB_TILE)
+    wit = witness_words[..., :levels, :] if levels else (
+        jnp.zeros(lead + (1, 8), jnp.uint32))
+    out = _leaf_walk_t(
+        t.to(value_words, vw), t.to(sibling_words, vw),
+        t.to(wit.reshape(lead + (-1,)), max(levels, 1) * 8),
+        t.to(tree_index.reshape(lead + (1,)).astype(jnp.uint32), 1),
+        vw=vw, levels=levels, interpret=interpret, sub_tile=SUB_TILE)
+    return t.back(out)
+
+
+def chain_levels(h, witness_words, tree_index, levels: int,
+                 interpret: bool = False):
+    """`levels` witness levels from running digests h [..., 8]; tree_index is
+    the CURRENT (already-halved) index.  Returns the [..., 8] digests."""
+    lead = h.shape[:-1]
+    t = _Tiler(lead, SUB_TILE)
+    wit = witness_words[..., :levels, :] if levels else (
+        jnp.zeros(lead + (1, 8), jnp.uint32))
+    out = _chain_t(
+        t.to(h, 8), t.to(wit.reshape(lead + (-1,)), max(levels, 1) * 8),
+        t.to(tree_index.reshape(lead + (1,)).astype(jnp.uint32), 1),
+        levels=levels, interpret=interpret, sub_tile=SUB_TILE)
+    return t.back(out)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("vw", "max_depth", "interpret"))
+                   static_argnames=("vw", "max_depth", "interpret", "sub_tile"))
 def _walk_t(value_t, sibling_t, witness_t, tidx, depth, vw: int,
-            max_depth: int, interpret: bool = False):
+            max_depth: int, interpret: bool = False,
+            sub_tile: int = SUB_TILE):
     """Word-major fused walk on [rows, N/128, 128] operands: returns the
     final digests [8, N/128, 128]."""
     nr = value_t.shape[1]
-    assert nr % SUB_TILE == 0, nr
-    grid = (nr // SUB_TILE,)
+    if nr % sub_tile:
+        raise ValueError(f"rows={nr} must be a sub_tile multiple")
+    grid = (nr // sub_tile,)
 
     def spec(rows):
-        return pl.BlockSpec((rows, SUB_TILE, 128), lambda i: (0, i, 0),
+        return pl.BlockSpec((rows, sub_tile, 128), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
@@ -172,7 +331,7 @@ def _walk_t(value_t, sibling_t, witness_t, tidx, depth, vw: int,
 
 
 def walk_branches(value_words, sibling_words, witness_words, tree_index,
-                  depth, interpret: bool = False):
+                  depth, interpret: bool = False, sub_tile: int | None = None):
     """Fused leaf-hash + witness walk.
 
     value_words/sibling_words: [..., vw] uint32; witness_words
@@ -180,12 +339,14 @@ def walk_branches(value_words, sibling_words, witness_words, tree_index,
     2^(w+2)+idx start index); depth [...] uint32 broadcastable.  Returns the
     final [..., 8] digests (compare against the root outside).
     """
+    sub_tile = sub_tile or SUB_TILE
+    lane_tile = sub_tile * 128
     lead = value_words.shape[:-1]
     vw = value_words.shape[-1]
     max_depth = witness_words.shape[-2]
     depth = jnp.broadcast_to(jnp.asarray(depth, jnp.uint32), lead)
     n = int(np.prod(lead)) if lead else 1
-    npad = -(-n // LANE_TILE) * LANE_TILE
+    npad = -(-n // lane_tile) * lane_tile
     nr = npad // 128
 
     def flat(x, tail):
@@ -206,5 +367,5 @@ def walk_branches(value_words, sibling_words, witness_words, tree_index,
     ti = wordmajor(flat(tree_index.reshape(lead + (1,)), (1,)), 1)
     dp = wordmajor(flat(depth.reshape(lead + (1,)), (1,)), 1)
     out = _walk_t(v, s, w, ti, dp, vw=vw, max_depth=max_depth,
-                  interpret=interpret)
+                  interpret=interpret, sub_tile=sub_tile)
     return out.reshape(8, npad).T[:n].reshape(lead + (8,))
