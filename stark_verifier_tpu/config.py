@@ -203,7 +203,8 @@ class StatementTables:
         self.points_pts = np.array(
             [x for x in range(nd) if x % cfg.extension_factor], dtype=np.int64)
         pts = self.points_pts
-        assert len(pts) > deg, "no held-out positions for the direct check"
+        if len(pts) <= deg:
+            raise ValueError("no held-out positions for the direct check")
         powl = [pow(rou_last, int(x), m) for x in range(nd)]
         nodes = [powl[int(x)] for x in pts[:deg]]
         # denominators prod_{k != i} (n_i - n_k), numerators via batch inv

@@ -36,7 +36,8 @@ EXTENSION_FACTOR = 8
 
 def int_to_limbs(x: int, n: int = NLIMBS) -> np.ndarray:
     """Convert a non-negative int < 2^(16n) to n little-endian u16 limbs (uint32)."""
-    assert 0 <= x < (1 << (LIMB_BITS * n)), "value out of range for limb count"
+    if not 0 <= x < (1 << (LIMB_BITS * n)):
+        raise ValueError(f"value out of range for {n} limbs")
     out = np.zeros(n, dtype=np.uint32)
     for i in range(n):
         out[i] = x & LIMB_MASK
@@ -76,7 +77,8 @@ def be_bytes_to_limbs(b: np.ndarray) -> np.ndarray:
     (reference: src/main.rs:171-174, BigInt::from_bytes_be).
     """
     b = np.asarray(b, dtype=np.uint32)
-    assert b.shape[-1] == 32
+    if b.shape[-1] != 32:
+        raise ValueError(f"expected 32 trailing bytes, got {b.shape[-1]}")
     # byte pairs, most significant first: limb k (LE) = bytes [30-2k, 31-2k]
     rev = b[..., ::-1]  # little-endian byte order
     lo = rev[..., 0::2]
@@ -87,7 +89,8 @@ def be_bytes_to_limbs(b: np.ndarray) -> np.ndarray:
 def bytes_to_le_words(b: np.ndarray) -> np.ndarray:
     """[..., 4k] uint8 -> [..., k] uint32 little-endian words (Blake2s view)."""
     b = np.asarray(b, dtype=np.uint32)
-    assert b.shape[-1] % 4 == 0
+    if b.shape[-1] % 4:
+        raise ValueError(f"byte count {b.shape[-1]} not a multiple of 4")
     b4 = b.reshape(*b.shape[:-1], b.shape[-1] // 4, 4)
     return b4[..., 0] | (b4[..., 1] << 8) | (b4[..., 2] << 16) | (b4[..., 3] << 24)
 

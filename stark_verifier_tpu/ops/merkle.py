@@ -178,8 +178,11 @@ def _pallas_walk_mode() -> str:
 
 
 # dedup the top (_TAIL_CAP + 1) tree levels; see the t0 comment in
-# _shared_bottom for the cost model (tunable for re-sweeps on new hardware)
-_TAIL_CAP = int(_os.environ.get("STARK_SHARED_TAIL", "4"))
+# _shared_bottom for the cost model (tunable for re-sweeps on new hardware).
+# Default from the round-4 sweep: with the Pallas whole-walk kernels the
+# full-width levels got cheaper, so shallower dense tails win (tail 2:
+# 26,254 proofs/s vs tail 4: 22,886 at batch 8192 -- docs/PERF.md round 4).
+_TAIL_CAP = int(_os.environ.get("STARK_SHARED_TAIL", "2"))
 
 
 def _rows(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -114,7 +114,8 @@ def eval4_even_odd(x1_inv: jnp.ndarray, x1sq_inv: jnp.ndarray,
                    ys: jnp.ndarray, sx: jnp.ndarray,
                    ginv: jnp.ndarray, inv4: jnp.ndarray) -> jnp.ndarray:
     """Even/odd-split evaluation of the FRI row interpolant -- the cheapest
-    known form for these nodes (~8 multiplies per group vs ~15 barycentric).
+    known form for these nodes (7 multiplies per group, Horner in sx^2/x1^2,
+    vs ~15 barycentric).
 
     The nodes are q_i * x1 with q = (1, g, g^2, g^3) the quartic roots of
     unity (stale-root quirk: identical at every level, SURVEY 2.2.5), and
@@ -154,10 +155,11 @@ def eval4_even_odd(x1_inv: jnp.ndarray, x1sq_inv: jnp.ndarray,
     da = F.sub_mod(s02, s13)
     e = F.add_mod(d02, c1)
     f = F.sub_mod(d02, c1)
-    st = F.mul_mod(s2[..., None, :], x1sq_inv)            # sx^2 / x1^2
-    sxx = F.mul_mod(sxc[..., None, :], x1_inv)            # sx / x1
-    g1 = F.mul_mod(sxx, st)
-    s = F.mul_sum_mod([(da, st), (e, sxx), (f, g1)], extra=[sa])
+    st = F.mul_mod(s2[..., None, :], x1sq_inv)            # v = sx^2 / x1^2
+    sxx = F.mul_mod(sxc[..., None, :], x1_inv)            # u = sx / x1
+    # Horner in v: e*u + f*u*v == (e + f*v)*u -- one full multiply saved
+    efv = F.add_mod(e, F.mul_mod(f, st))
+    s = F.mul_sum_mod([(da, st), (efv, sxx)], extra=[sa])
     return F.mul_mod(s, inv4)
 
 

@@ -60,12 +60,14 @@ def make_sharded_ntt(n: int, root: int, mesh: Mesh, axis_name: str = "data",
     """Build a jitted sharded n-point NTT over `mesh` (values [n, 16] with the
     point axis sharded).  Bit-exact with ops.ntt.ntt."""
     D = mesh.devices.size
-    assert n % D == 0 and (n // D) % 1 == 0
+    if n % D:
+        raise ValueError(f"n={n} not divisible by mesh size {D}")
     S = n // D
     logn = n.bit_length() - 1
     logS = S.bit_length() - 1
     n_cross = logn - logS
-    assert (1 << logn) == n and (1 << logS) == S
+    if (1 << logn) != n or (1 << logS) != S:
+        raise ValueError(f"n={n} and per-shard size {S} must be powers of 2")
 
     w = pow(root, modulus - 2, modulus) if inverse else root
     local_stages = _twiddle_stages(w, n, modulus)[:logS]

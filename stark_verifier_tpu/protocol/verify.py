@@ -140,25 +140,29 @@ def _fri_checks(l_root_words, fri, tables: StatementTables, cfg: StarkConfig,
     x1sq_inv = jnp.take(g2t, (jnp.uint32(0) - jnp.uint32(2) * e1) & mask,
                         axis=0)                            # [..., L, q, 16]
 
-    rows = F.words_be_to_limbs(fri["poly_value"])          # [..., L, 4q, 16]
-    rows = rows.reshape(*rows.shape[:-2], q, 4, fp.NLIMBS)
-
     # canonical interpolated value compared to the RAW column value
     # (main.rs:84-86): a non-canonical committed value can never equal a
     # canonical lhs, exactly like the reference's unreduced BigInt equality
     if F.pallas_enabled():
-        # fused whole-chain kernel: all ~8 multiplies of the even/odd-split
-        # evaluation stay in VMEM (ops/fri_pallas.py)
+        # fused whole-chain kernel: all 7 multiplies of the even/odd-split
+        # evaluation stay in VMEM, and the kernel speaks the wire's 8-word
+        # BE encoding on both ends (ops/fri_pallas.py) -- the value equality
+        # runs directly on the proof's word arrays (bijective encoding)
         from ..ops import fri_pallas
-        lhs = fri_pallas.eval4_rows(
-            x1_inv, x1sq_inv, rows, special_x,
+        rows_w = fri["poly_value"].reshape(
+            *fri["poly_value"].shape[:-2], q, 4, 8)        # [..., L, q, 4, 8]
+        lhs_w = fri_pallas.eval4_rows(
+            x1_inv, x1sq_inv, rows_w, special_x,
             np.asarray(tables.quartic_ginv), np.asarray(tables.inv4))
+        ok_val = jnp.all(jnp.all(lhs_w == fri["col_value"], axis=-1), axis=-1)
     else:
+        rows = F.words_be_to_limbs(fri["poly_value"])      # [..., L, 4q, 16]
+        rows = rows.reshape(*rows.shape[:-2], q, 4, fp.NLIMBS)
         lhs = quartic.eval4_even_odd(
             x1_inv, x1sq_inv, rows, special_x,
             jnp.asarray(tables.quartic_ginv), jnp.asarray(tables.inv4))
-    col_vals_raw = F.words_be_to_limbs(fri["col_value"])
-    ok_val = jnp.all(jnp.all(lhs == col_vals_raw, axis=-1), axis=-1)
+        col_vals_raw = F.words_be_to_limbs(fri["col_value"])
+        ok_val = jnp.all(jnp.all(lhs == col_vals_raw, axis=-1), axis=-1)
     ok = jnp.all(jnp.logical_and(ok_merkle, ok_val), axis=-1)
     return ok, root2
 
@@ -186,17 +190,18 @@ def points_direct_check(points_words, tables: StatementTables,
     points_words: [..., final_domain, 8] word rows.  Returns [...] bool.
     """
     deg = cfg.fri_final_maxdeg_plus_1
+    # deg = (2*num_steps) >> 2*fri_levels is 8 or 16 for every power-of-two
+    # num_steps (folding by 4 stops at <= 16), so all D products of the
+    # evaluation-matrix row always sum through ONE fold (field.mul_sum_mod;
+    # D = 16 is exactly its exactness bound).  StarkConfig can never derive
+    # deg > 16, so this guards only hand-built config stubs.
+    if deg > 16:
+        raise ValueError(f"unconstructible config: final FRI degree {deg}")
     pts = tables.points_pts
     data = F.words_be_to_limbs(points_words)               # [..., nd, 16]
     used = jnp.take(data, jnp.asarray(pts[:deg]), axis=-2)  # [..., D, 16]
     held = jnp.take(data, jnp.asarray(pts[deg:]), axis=-2)  # [..., H, 16]
     m = jnp.asarray(tables.points_eval_matrix)             # [H, D, 16]
-    # deg = (2*num_steps) >> 2*fri_levels is 8 or 16 for every power-of-two
-    # num_steps (folding by 4 stops at <= 16), so all D products of the
-    # evaluation-matrix row always sum through ONE fold (field.mul_sum_mod;
-    # D = 16 is exactly its exactness bound)
-    if deg > 16:
-        raise ValueError(f"unconstructible config: final FRI degree {deg}")
     pred = F.mul_sum_mod(
         [(m[..., i, :], used[..., None, i, :]) for i in range(deg)])
     # canonical evaluation vs the RAW held-out value, like every other

@@ -64,8 +64,11 @@ def _check(G, sx_int):
     ginv = np.asarray(tables.quartic_ginv)
     inv4 = np.asarray(tables.inv4)
 
-    got_pallas = np.asarray(fri_pallas.eval4_rows(
-        x1_inv, x1sq_inv, ys, sx, ginv, inv4, interpret=True))
+    # the kernel speaks the wire encoding: BE word rows in, BE words out
+    ys_w = F.limbs_to_words_be(ys)
+    got_pallas_w = np.asarray(fri_pallas.eval4_rows(
+        x1_inv, x1sq_inv, ys_w, sx, ginv, inv4, interpret=True))
+    got_pallas = np.asarray(F.words_be_to_limbs(jnp.asarray(got_pallas_w)))
     got_xla = np.asarray(quartic.eval4_even_odd(
         x1_inv, x1sq_inv, ys, sx, jnp.asarray(ginv), jnp.asarray(inv4)))
     got_bary = np.asarray(quartic.eval4_inv_free(

@@ -104,3 +104,17 @@ def test_points_direct_check_ignores_multiple_positions(proof_bytes):
     tampered[8, 0] ^= 1                          # multiple of 8: excluded
     assert bool(np.asarray(
         V.points_direct_check(jnp.asarray(tampered), tables, cfg)))
+
+
+def test_points_direct_check_rejects_unconstructible_degree():
+    """The exactness bound of field.mul_sum_mod caps the direct check at
+    D = 16 products; StarkConfig can never derive a larger final degree
+    (folding by 4 stops at <= 16, config.py fri_levels), so the guard only
+    fires for hand-built config stubs -- and must raise, not silently
+    compute an inexact fold."""
+
+    class FakeCfg:
+        fri_final_maxdeg_plus_1 = 32
+
+    with pytest.raises(ValueError, match="unconstructible"):
+        V.points_direct_check(jnp.zeros((64, 8), jnp.uint32), None, FakeCfg())

@@ -53,11 +53,13 @@ def main():
         dtype=jnp.uint32))
     print(f"xla even/odd      {timeit(xla):8.2f} ms", flush=True)
 
+    from stark_verifier_tpu.ops import field as F
+    ys_w = jnp.asarray(np.asarray(F.limbs_to_words_be(ys)))   # wire encoding
     for tile in (256, 512, 1024, 2048):
         fri_pallas.LANE_TILE = tile
         fri_pallas._rows_t.clear_cache()
         fn = jax.jit(lambda: jnp.sum(fri_pallas.eval4_rows(
-            x1_inv, x1sq_inv, ys, sx, ginv, inv4), dtype=jnp.uint32))
+            x1_inv, x1sq_inv, ys_w, sx, ginv, inv4), dtype=jnp.uint32))
         print(f"pallas tile {tile:5d} {timeit(fn):8.2f} ms", flush=True)
 
 

@@ -112,18 +112,21 @@ def main():
         x1_inv = jnp.take(g2t, (jnp.uint32(0) - e1) & mask, axis=0)
         x1sq_inv = jnp.take(g2t, (jnp.uint32(0) - jnp.uint32(2) * e1) & mask,
                             axis=0)
-        rows = F.words_be_to_limbs(fri["poly_value"]).reshape(
-            *fri["poly_value"].shape[:-2], 40, 4, fp.NLIMBS)
         if F.pallas_enabled():
             from stark_verifier_tpu.ops import fri_pallas
+            rows_w = fri["poly_value"].reshape(
+                *fri["poly_value"].shape[:-2], 40, 4, 8)
             lhs = fri_pallas.eval4_rows(
-                x1_inv, x1sq_inv, rows, special_x,
+                x1_inv, x1sq_inv, rows_w, special_x,
                 np.asarray(tables.quartic_ginv), np.asarray(tables.inv4))
+            cv = fri["col_value"]
         else:
+            rows = F.words_be_to_limbs(fri["poly_value"]).reshape(
+                *fri["poly_value"].shape[:-2], 40, 4, fp.NLIMBS)
             lhs = quartic.eval4_even_odd(
                 x1_inv, x1sq_inv, rows, special_x,
                 jnp.asarray(tables.quartic_ginv), jnp.asarray(tables.inv4))
-        cv = F.words_be_to_limbs(fri["col_value"])
+            cv = F.words_be_to_limbs(fri["col_value"])
         return jnp.all(jnp.all(jnp.all(lhs == cv, -1), -1), -1)
 
     @jax.jit

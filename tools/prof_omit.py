@@ -63,7 +63,7 @@ def main():
         return jnp.zeros(x1i.shape, jnp.uint32)
 
     def stub_rows(x1i, x1sqi, ys, sx, ginv, inv4, interpret=False):
-        return jnp.zeros(x1i.shape, jnp.uint32)
+        return jnp.zeros(x1i.shape[:-1] + (8,), jnp.uint32)   # BE word rows
 
     def stub_spot(raw5, tab5, ks4, ic1, ic0, interpret=False):
         return jnp.ones(raw5.shape[:-2] + (3,), bool)
