@@ -159,7 +159,12 @@ def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = Non
     # at most once per process
 
     buf, idxs = [], []
-    layout = None
+    # DOUBLE-BUFFERED ingest layouts: chunk k fills layouts[k % 2], so the
+    # H2D copies of chunk k-1 (whose buffers are layouts[(k-1) % 2]) overlap
+    # chunk k's host parse.  Reusing layouts[k % 2] for chunk k is safe
+    # because chunk k-2's verdicts were already fetched in the previous
+    # flush, which orders after its H2D.
+    layouts = [None, None]
     chunk_id = 0
     pending = None           # (chunk_id, idxs, ok, device_verdicts) in flight
 
@@ -171,7 +176,7 @@ def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = Non
         return list(zip(p_idxs, (bool(v) for v in verdicts)))
 
     def flush():
-        nonlocal buf, idxs, chunk_id, pending, layout
+        nonlocal buf, idxs, chunk_id, pending
         if not buf:
             return []
         out = []
@@ -180,8 +185,15 @@ def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = Non
             buf, idxs = [], []
             chunk_id += 1
             return out
-        tree, ok, layout = ingest.ingest_chunk(buf, vcfg, layout,
-                                               threads=threads, pad_to=chunk)
+        par = chunk_id % 2
+        if pending is not None and pending[0] % 2 == par:
+            # same-parity in-flight chunk (manifest skips break the strict
+            # alternation): its H2D may still be reading layouts[par] --
+            # fetch its verdicts before refilling those buffers
+            out += collect(pending)
+            pending = None
+        tree, ok, layouts[par] = ingest.ingest_chunk(
+            buf, vcfg, layouts[par], threads=threads, pad_to=chunk)
         if tree is None:                      # nothing parseable
             out = list(zip(idxs, [False] * len(idxs)))
             if manifest is not None:
@@ -190,15 +202,13 @@ def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = Non
             chunk_id += 1
             return out
         rect = pdevice.is_rectangular(tree)
-        batch = shard_batch(tree, mesh)
-        # the ingest layout's numpy buffers are REUSED next chunk: wait for
-        # the H2D copies before they can be overwritten (the dispatch below
-        # stays async -- that is what the pipeline overlaps)
-        jax.block_until_ready(batch)
+        batch = shard_batch(tree, mesh)       # async H2D from layouts[par]
         fn = make_sharded_verifier(mesh, vcfg, inp, shared_merkle=rect)
         verdicts, _ = fn(batch)               # async dispatch
         if pending is not None:
-            out = collect(pending)            # fetch the PREVIOUS chunk
+            # fetching the PREVIOUS chunk's verdicts also orders after its
+            # H2D, so its layout (the one the NEXT chunk fills) is free
+            out = collect(pending)
         pending = (chunk_id, idxs, ok, verdicts)
         buf, idxs = [], []
         chunk_id += 1

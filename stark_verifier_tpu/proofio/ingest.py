@@ -105,40 +105,37 @@ class BatchLayout:
         self._vs_lin = np.zeros((B, self.lin_meta[0]), u32)
         # fill strides: svt_fill reads vmax/dmax strides from the meta buffer
         self._fill_meta = meta.copy()
+        # scan-metadata prefix a blob must match to native-fill into this
+        # layout (everything svt_scan writes for this structure)
+        self._meta_prefix = meta[:2 + 6 * self.n_levels + 6].copy()
+        # per-slot svt_fill argument tuples, built once and reused across
+        # chunks: the batch buffers live as long as the layout, so every
+        # destination pointer is stable (building ~25 ctypes arrays per fill
+        # call measured as a visible share of the host-bound stream cost)
+        self._slot_args: list = [None] * B
 
     def compatible(self, meta: np.ndarray) -> bool:
-        try:
-            other = (int(meta[0]), int(meta[1]),
-                     tuple(tuple(int(x) for x in row)
-                           for row in meta[2:2 + 6 * int(meta[0])].reshape(
-                               int(meta[0]), 6)),
-                     tuple(int(x) for x in
-                           meta[2 + 6 * int(meta[0]):2 + 6 * int(meta[0]) + 3]),
-                     tuple(int(x) for x in
-                           meta[2 + 6 * int(meta[0]) + 3:
-                                2 + 6 * int(meta[0]) + 6]))
-        except (ValueError, IndexError):
-            return False
-        return other == self.key
+        return np.array_equal(meta[:self._meta_prefix.size],
+                              self._meta_prefix)
 
-    def fill_slot(self, lib, blob: bytes, i: int) -> None:
-        """Native fill of proof `blob` directly into batch slot i."""
+    def _fill_args(self, i: int):
+        a = self._slot_args[i]
+        if a is not None:
+            return a
         t = self.tree
         fri = t["fri"]
 
-        def vp(a):
-            return a.ctypes.data_as(ctypes.c_void_p)
+        def vp(arr):
+            return ctypes.c_void_p(arr.ctypes.data)
 
         def ptrs(arrs):
             ty = ctypes.c_void_p * max(len(arrs), 1)
-            return ty(*[a.ctypes.data for a in arrs])
+            return ty(*[arr.ctypes.data for arr in arrs])
 
         L = self.n_levels
-        root2 = [fri["root2"][i, l] for l in range(L)]
-        rc = lib.svt_fill(
-            blob, len(blob),
+        a = (
             vp(t["merkle_root"][i]), vp(t["l_merkle_root"][i]),
-            ptrs(root2),
+            ptrs([fri["root2"][i, l] for l in range(L)]),
             ptrs([fri["col_value"][i, l] for l in range(L)]),
             ptrs([fri["col_sibling"][i, l] for l in range(L)]),
             ptrs([fri["col_witness"][l][i] for l in range(L)]),
@@ -158,6 +155,12 @@ class BatchLayout:
             vp(t["lincomb"]["witness"][i]), vp(self._vs_lin[i]),
             vp(t["lincomb"]["depth"][i]),
         )
+        self._slot_args[i] = a
+        return a
+
+    def fill_slot(self, lib, blob: bytes, i: int) -> None:
+        """Native fill of proof `blob` directly into batch slot i."""
+        rc = lib.svt_fill(blob, len(blob), *self._fill_args(i))
         if rc:
             raise wire.WireFormatError(f"fill error {rc}")
 
@@ -171,37 +174,39 @@ class BatchLayout:
 
         jax.tree.map(put, self.tree, src)
 
-    def validate_slot(self, cfg, i: int) -> None:
-        """Family-shape checks mirroring wire.validate_proof on slot i."""
-        if self.n_levels != cfg.fri_levels:
-            raise wire.WireFormatError(
-                f"proof has {self.n_levels} FRI levels; family expects "
-                f"{cfg.fri_levels}")
+    def family_ok(self, cfg) -> bool:
+        """Layout-level family checks (identical for every slot of this
+        layout): FRI level count, branch counts, POINTS size."""
         q = cfg.fri_queries
+        if self.n_levels != cfg.fri_levels:
+            return False
+        for cm in self.lv_meta:
+            if cm[0] != q or cm[3] != 4 * q:
+                return False
+        return (self.main_meta[0] == 2 * cfg.spot_checks
+                and self.lin_meta[0] == cfg.spot_checks
+                and self.n_points == cfg.fri_final_domain)
 
-        def chk(n_want, vs_want, n_got, vsizes, depths, name):
-            if n_got != n_want:
-                raise wire.WireFormatError(
-                    f"{name}: {n_got} branches; family expects {n_want}")
-            if not (vsizes == vs_want).all():
-                raise wire.WireFormatError(f"{name}: non-family value size")
-            if depths.min() < 1:
-                raise wire.WireFormatError(f"{name}: zero-depth witness")
-
+    def validate_filled(self, cfg, filled: np.ndarray) -> np.ndarray:
+        """Vectorized per-slot family checks (value sizes, witness depths)
+        over the natively filled slots -- ONE numpy pass per array instead of
+        per-slot python (mirrors wire.validate_proof semantics; a violating
+        slot rejects, it never aborts the chunk)."""
+        B = filled.size
+        if not self.family_ok(cfg):
+            return np.zeros(B, dtype=bool)
+        okv = filled.copy()
         fri = self.tree["fri"]
-        for l, cm in enumerate(self.lv_meta):
-            chk(q, 32, cm[0], self._vs_col[l][i], fri["col_depth"][i, l],
-                f"FRI level {l} column")
-            chk(4 * q, 32, cm[3], self._vs_poly[l][i],
-                fri["poly_depth"][i, l], f"FRI level {l} poly")
-        chk(2 * cfg.spot_checks, 96, self.main_meta[0], self._vs_main[i],
-            self.tree["main"]["depth"][i], "main branches")
-        chk(cfg.spot_checks, 32, self.lin_meta[0], self._vs_lin[i],
-            self.tree["lincomb"]["depth"][i], "lincomb branches")
-        if self.n_points != cfg.fri_final_domain:
-            raise wire.WireFormatError(
-                f"POINTS element has {self.n_points} values; family expects "
-                f"{cfg.fri_final_domain}")
+        for l in range(self.n_levels):
+            okv &= (self._vs_col[l][:B] == 32).all(axis=1)
+            okv &= (self._vs_poly[l][:B] == 32).all(axis=1)
+            okv &= (fri["col_depth"][:B, l] >= 1).all(axis=1)
+            okv &= (fri["poly_depth"][:B, l] >= 1).all(axis=1)
+        okv &= (self._vs_main[:B] == 96).all(axis=1)
+        okv &= (self._vs_lin[:B] == 32).all(axis=1)
+        okv &= (self.tree["main"]["depth"][:B] >= 1).all(axis=1)
+        okv &= (self.tree["lincomb"]["depth"][:B] >= 1).all(axis=1)
+        return okv
 
 
 def ingest_chunk(blobs: list, cfg, layout: BatchLayout | None = None,
@@ -241,6 +246,8 @@ def ingest_chunk(blobs: list, cfg, layout: BatchLayout | None = None,
         else:
             return None, ok, layout     # nothing parseable in this chunk
 
+    filled = np.zeros(B, dtype=bool)
+
     def fill_one(j):
         m = metas[j]
         if m is None:
@@ -248,19 +255,20 @@ def ingest_chunk(blobs: list, cfg, layout: BatchLayout | None = None,
         try:
             if layout.compatible(m):
                 layout.fill_slot(lib, blobs[j], j)
-                layout.validate_slot(cfg, j)
+                filled[j] = True     # vectorized family checks below
             else:
                 # structural outlier (ragged/extra padding): per-proof path
                 p = wire.parse_proof_fast(blobs[j],
                                           allow_trailing=not cfg.strict)
                 wire.validate_proof(p, cfg)
                 layout.copy_slot_from_tree(pdevice.proof_tree(p), j)
-            ok[j] = True
+                ok[j] = True
         except (wire.WireFormatError, ValueError):
-            ok[j] = False
+            pass
 
     with ThreadPoolExecutor(max_workers=threads) as ex:
         list(ex.map(fill_one, range(B)))
+    ok |= layout.validate_filled(cfg, filled)
 
     if not ok.any():
         return None, ok, layout
