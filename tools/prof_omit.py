@@ -65,7 +65,7 @@ def main():
     def stub_rows(x1i, x1sqi, ys, sx, ginv, inv4, interpret=False):
         return jnp.zeros(x1i.shape[:-1] + (8,), jnp.uint32)   # BE word rows
 
-    def stub_spot(raw5, tab5, ks4, ic1, ic0, interpret=False):
+    def stub_spot(raw5, tab5, ks4, ic1, ic0, interpret=False, power=3):
         return jnp.ones(raw5.shape[:-2] + (3,), bool)
 
     def stub_prg(seed_words, n, modulus, exclude_multiples_of=0):
@@ -90,6 +90,9 @@ def main():
         spotp.spot_checks = stubs.get("spot", real_spot)
         prg.pseudorandom_indices = stubs.get("prg", real_prg)
         try:
+            # make_verifier memoizes per (cfg, inp, shared) -- a stubbed
+            # variant must NOT reuse the full graph's cached executable
+            V._make_verifier_cached.cache_clear()
             fn, _ = V.make_verifier(cfg)
             p50 = timeit(fn, tree, iters)
         finally:
