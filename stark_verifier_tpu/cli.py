@@ -143,11 +143,15 @@ def cmd_bench(args):
             t = time.perf_counter()
             jax.block_until_ready(fn(tree))
             samples.append(time.perf_counter() - t)
+    from stark_verifier_tpu.config import StarkConfig
+    from stark_verifier_tpu.profiling import compressions_per_proof
     report = BenchReport(
         batch=n, iters=args.iters,
         p50_s=float(np.percentile(samples, 50)),
         device=str(jax.devices()[0]),
         n_devices=args.devices,
+        comp_per_proof=compressions_per_proof(
+            StarkConfig(log_steps=args.log_steps)),
     )
     log.info("phases: %s",
              {k: round(v * 1e3, 1) for k, v in times.phases.items()})

@@ -92,70 +92,30 @@ class StatementTables:
         self.cfg = cfg
         m = cfg.modulus
         self.G2 = pow(7, (m - 1) // cfg.precision, m)   # main.rs:114
-        self.G1 = pow(self.G2, cfg.skips, m)
-        prec_bits = cfg.precision.bit_length() - 1
-        self.g2_pow2 = fp.pow2_table(self.G2, prec_bits)          # [17?, 16]
-        # per-FRI-level root of unity (G2^(4^level)) + pow2 tables for the
-        # <= rou_deg/4 exponents of column indices (main.rs:73-80, 88)
+        # per-FRI-level root of unity (G2^(4^level)) and PRG modulus
+        # rou_deg/4 (main.rs:56,73-80,88); all exponent arithmetic rides the
+        # master g2_powers gather table below
         self.level_rous = []
-        self.level_pow2 = []
         self.level_moduli = []     # rou_deg/4 per level (PRG domain + offset)
         rou = self.G2
         rd = cfg.precision
-        bits0 = max((cfg.precision // 4 - 1).bit_length(), 1)
         for _ in range(cfg.fri_levels):
             self.level_rous.append(rou)
-            self.level_pow2.append(fp.pow2_table(rou, bits0))
             self.level_moduli.append(rd // 4)
             rou = pow(rou, 4, m)
             rd //= 4
-        # stacked for the level-parallel FRI walk: [levels, bits0, 16] / [levels]
-        self.level_pow2_stacked = np.stack(self.level_pow2)
         self.level_moduli_np = np.array(self.level_moduli, dtype=np.uint32)
-        # radix-4 exponent tables (half the multiplies of the radix-2 walk)
-        self.g2_pow4 = fp.pow4_table(self.G2, prec_bits)
-        self.level_pow4_stacked = np.stack(
-            [fp.pow4_table(r, bits0) for r in self.level_rous])
-        # quartic roots of unity -- computed ONCE from the top-level domain
-        # and (faithfully to the reference) stale for later levels
-        # (main.rs:43-48; SURVEY 2.2.5)
-        rd0 = cfg.precision
-        self.quartic_rous = fp.ints_to_limbs([
-            1,
-            pow(self.G2, rd0 // 4, m),
-            pow(self.G2, rd0 // 2, m),
-            pow(self.G2, rd0 * 3 // 4, m),
-        ])
-        # barycentric weight constants for FRI rows: nodes are q_i * x1 with
-        # the (stale) quartic roots q_i, so w_i = prod_{j!=i}(x_i - x_j)
-        # = x1^3 * prod_{j!=i}(q_i - q_j) -- the product is a host constant
-        qr = [1,
-              pow(self.G2, rd0 // 4, m),
-              pow(self.G2, rd0 // 2, m),
-              pow(self.G2, rd0 * 3 // 4, m)]
-        wc = []
-        for i in range(4):
-            prod = 1
-            for j in range(4):
-                if j != i:
-                    prod = prod * (qr[i] - qr[j]) % m
-            wc.append(prod % m)
-        self.quartic_wconsts = fp.ints_to_limbs(wc)
-        # host inverses of the weight constants: with them (and x1^-3 gathered
-        # from the power table) the FRI row check needs NO field inversion
-        # (ops/quartic.eval4_inv_free)
-        self.quartic_winv = fp.ints_to_limbs([pow(w, m - 2, m) for w in wc])
-        # even/odd-split row evaluation constants (ops/quartic.eval4_even_odd):
-        # g^{-1} = g^3 (the quartic roots satisfy g^4 = 1) and 4^{-1} mod p
-        self.quartic_ginv = fp.int_to_limbs(qr[3])
+        # even/odd-split FRI row evaluation constants (the production row
+        # path, ops/quartic.eval4_even_odd + ops/fri_pallas): the row nodes
+        # are x1 * q_i with quartic roots q_i computed ONCE from the
+        # top-level domain and (faithfully to the reference) stale for later
+        # levels (main.rs:43-48; SURVEY 2.2.5); g^{-1} = g^3 since g^4 = 1,
+        # plus 4^{-1} mod p.  (The barycentric-weight formulation is
+        # test-side only since round 5: tests/oracle.quartic_weight_consts.)
+        self.quartic_ginv = fp.int_to_limbs(
+            pow(self.G2, cfg.precision * 3 // 4, m))
         self.inv4 = fp.int_to_limbs(pow(4, m - 2, m))
         self.last_step_position = pow(self.G2, (cfg.num_steps - 1) * cfg.skips, m)
-        # zeropoly2 = (x - 1)(x - last) = [last, -(1+last), 1]  (main.rs:185)
-        self.zeropoly2 = fp.ints_to_limbs([
-            self.last_step_position % m,
-            (-(1 + self.last_step_position)) % m,
-            1,
-        ])
         # constants mini-polynomial domain root: G2^(ext*skips2) (main.rs:124)
         self.minipoly_root = pow(self.G2, cfg.extension_factor * cfg.skips2, m)
 

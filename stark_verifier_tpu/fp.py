@@ -105,23 +105,6 @@ def pow2_table(base: int, nbits: int, modulus: int = MODULUS) -> np.ndarray:
     return ints_to_limbs(vals)
 
 
-def pow4_table(base: int, nbits: int, modulus: int = MODULUS) -> np.ndarray:
-    """[ceil(nbits/2), 3, NLIMBS]: entry [k][d-1] = base^(d * 4^k), d in 1..3.
-
-    Radix-4 exponentiation: one multiply per 2 exponent bits (digit 0 skips),
-    halving the multiply count of the radix-2 table walk.
-    """
-    steps = -(-nbits // 2)
-    out = np.zeros((steps, 3, NLIMBS), dtype=np.uint32)
-    cur = base % modulus
-    for k in range(steps):
-        out[k, 0] = int_to_limbs(cur)
-        out[k, 1] = int_to_limbs(cur * cur % modulus)
-        out[k, 2] = int_to_limbs(pow(cur, 3, modulus))
-        cur = pow(cur, 4, modulus)
-    return out
-
-
 # Limb-array constants (host numpy; device code wraps in jnp)
 P_LIMBS = int_to_limbs(MODULUS)
 FOLD_C_LIMBS = int_to_limbs(FOLD_C, 3)

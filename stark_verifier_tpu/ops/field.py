@@ -110,14 +110,6 @@ def _carry_fix(v: jnp.ndarray) -> jnp.ndarray:
     return (t + carry_in.astype(jnp.uint32)) & MASK
 
 
-def _carry_fix_fixed(v: jnp.ndarray, passes: int) -> jnp.ndarray:
-    """Statically-unrolled carry passes (when a bound on passes is provable)."""
-    for _ in range(passes):
-        c = v >> 16
-        v = (v & MASK).at[..., 1:].add(c[..., :-1])
-    return v
-
-
 # ---------------------------------------------------------------------------
 # Comparison / conditional subtract
 # ---------------------------------------------------------------------------
@@ -221,54 +213,6 @@ def neg_mod(a: jnp.ndarray) -> jnp.ndarray:
     """(-a) mod p for canonical input."""
     z = jnp.zeros_like(a)
     return sub_mod(z, a)
-
-
-def is_zero_combo(pos: list, neg: list) -> jnp.ndarray:
-    """sum(pos) - sum(neg) == 0 (mod p) for canonical [..., 16] terms,
-    WITHOUT materializing the canonical difference.
-
-    One accumulation covers any number of terms: D = sum(pos) +
-    sum(~neg_i) + n_neg  (= sum(pos) - sum(neg) + n_neg * 2^256 >= 0),
-    normalized once; the 2^256 overflow folds via C; the folded residue
-    r < 2^256 + eps is congruent to the difference and < 2p, so the zero
-    test is simply r in {0, p}.  Two Kogge passes total versus one stacked
-    pass per sub_mod in a chain.  Returns [...] bool.
-
-    Replaces the reference's per-check `assert x == 0` chains
-    (main.rs:179-192) at a fraction of the elementwise cost.
-    """
-    n_terms = len(pos) + len(neg)
-    if n_terms < 2:
-        raise ValueError(f"is_zero_combo needs >= 2 terms, got {n_terms}")
-    shape = jnp.broadcast_shapes(*[t.shape for t in pos + neg])
-    for t in pos + neg:
-        debug.check_limbs(t, "is_zero_combo term")
-    # each complement contributes an extra 2^256 === C (mod p); cancel all of
-    # them with one host constant so the folded residue is congruent to the
-    # true difference
-    k_adj = fp.int_to_limbs((-len(neg) * fp.FOLD_C) % fp.MODULUS)
-    acc = jnp.zeros(shape[:-1] + (NLIMBS + 1,), jnp.uint32)
-    s = jnp.broadcast_to(jnp.asarray(k_adj), shape)
-    for t in pos:
-        s = s + t
-    for t in neg:
-        s = s + (MASK - t)
-    acc = acc.at[..., :NLIMBS].set(s)
-    acc = acc.at[..., 0].add(jnp.uint32(len(neg)))
-    t17 = _carry_fix(acc)                        # limbs < 2^16; t17[16] < 8
-    # fold the 2^256 multiples in 17 limbs: r = t[:16] + t[16]*C
-    top = t17[..., NLIMBS]
-    r17 = jnp.zeros(shape[:-1] + (NLIMBS + 1,), jnp.uint32)
-    r17 = r17.at[..., :NLIMBS].set(t17[..., :NLIMBS])
-    r17 = r17.at[..., 0].add(top * _C[0])
-    r17 = r17.at[..., 1].add(top * _C[1])
-    r17 = r17.at[..., 2].add(top * _C[2])
-    r17 = _carry_fix(r17)
-    # r17 ≡ D (mod p), r17 < 2^256 + 8C < 2p: zero  <=>  r17 in {0, p}
-    zeros = jnp.all(r17 == 0, axis=-1)
-    p17b = jnp.broadcast_to(jnp.asarray(np.pad(fp.P_LIMBS, (0, 1))), r17.shape)
-    isp = jnp.all(r17 == p17b, axis=-1)
-    return jnp.logical_or(zeros, isp)
 
 
 # ---------------------------------------------------------------------------
@@ -610,23 +554,6 @@ def pow2k(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return lax.fori_loop(0, k, lambda _, v: sqr_mod(v), x)
 
 
-def pow_bits(x: jnp.ndarray, bits_msb_first) -> jnp.ndarray:
-    """x^e where e's bits are a static sequence (MSB first), via lax.scan of
-    square-and-multiply -- keeps the compiled graph small for 256-bit exponents."""
-    bits = jnp.asarray(np.array(bits_msb_first, dtype=np.uint32))
-    r = jnp.broadcast_to(const(1), x.shape).astype(jnp.uint32)
-    base = canon(x)
-
-    def step(r, bit):
-        r = mul_mod_lazy(r, r)          # lazy inside the chain
-        rm = mul_mod_lazy(r, base)
-        r = jnp.where((bit == 1), rm, r)
-        return r, None
-
-    r, _ = lax.scan(step, r, bits)
-    return canon(r)
-
-
 def inv_mod(x: jnp.ndarray) -> jnp.ndarray:
     """x^(p-2) mod p (Fermat); maps 0 -> 0, matching the reference's inv
     semantics at its call sites (reference: src/utils.rs:139-167).
@@ -681,28 +608,6 @@ def pow_table(table: jnp.ndarray, e: jnp.ndarray, nbits: int) -> jnp.ndarray:
         return jnp.where(bit[..., None], m, r), None
 
     r, _ = lax.scan(step, r, (bits, table[:nbits]))
-    return r
-
-
-def pow_table4(table4: jnp.ndarray, e: jnp.ndarray, nbits: int) -> jnp.ndarray:
-    """base^e via a radix-4 table (see fp.pow4_table): one multiply per two
-    exponent bits.
-
-    table4: [steps, 3, ...(broadcastable), 16] where entry [k][d-1] is
-    base^(d * 4^k); e: [...] uint32 (< 2^nbits).  Returns [..., 16].
-    """
-    steps = -(-nbits // 2)
-    r = jnp.broadcast_to(const(1), e.shape + (NLIMBS,)).astype(jnp.uint32)
-    digits = jnp.stack([((e >> (2 * k)) & 3) for k in range(steps)])
-
-    def step(r, xs):
-        d, tab = xs                     # tab: [3, ..., 16]
-        pick = jnp.where((d == 1)[..., None], tab[0],
-                         jnp.where((d == 2)[..., None], tab[1], tab[2]))
-        m = mul_mod(r, pick)
-        return jnp.where((d == 0)[..., None], r, m), None
-
-    r, _ = lax.scan(step, r, (digits, table4[:steps]))
     return r
 
 

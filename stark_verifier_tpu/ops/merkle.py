@@ -177,12 +177,19 @@ def _pallas_walk_mode() -> str:
     return _os.environ.get("STARK_PALLAS_WALK", "0")
 
 
-# dedup the top (_TAIL_CAP + 1) tree levels; see the t0 comment in
-# _shared_bottom for the cost model (tunable for re-sweeps on new hardware).
-# Default from the round-4 sweep: with the Pallas whole-walk kernels the
-# full-width levels got cheaper, so shallower dense tails win (tail 2:
-# 26,254 proofs/s vs tail 4: 22,886 at batch 8192 -- docs/PERF.md round 4).
-_TAIL_CAP = int(_os.environ.get("STARK_SHARED_TAIL", "2"))
+def _tail_cap() -> int:
+    """Dedup the top (_tail_cap() + 1) tree levels; see the t0 comment in
+    _shared_bottom for the cost model (STARK_SHARED_TAIL overrides for
+    re-sweeps on new hardware).  The optimum is conditional on the walk
+    mode: with the Pallas whole-walk kernels the full-width levels are
+    cheap, so shallower dense tails win (tail 2: 26,254 proofs/s vs tail
+    4: 22,886 at batch 8192, docs/PERF.md round 4); on the XLA scan path
+    the round-2/3 sweeps measured tail 4 as optimal -- the library default
+    without the kernels must not regress (round-4 advisor item 4)."""
+    env = _os.environ.get("STARK_SHARED_TAIL")
+    if env is not None:
+        return int(env)
+    return 2 if _pallas_walk_mode() in ("1", "interpret") else 4
 
 
 def _rows(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -308,7 +315,7 @@ def _shared_bottom(group: dict) -> dict:
         # fused leaf + full-width levels in one Pallas kernel (digests stay
         # in vector registers between levels); the dense-tail dedup below is
         # unchanged.  t0 must be computed first -- duplicate the formula.
-        t0_p = max(1, w - min(_flog2(max(1, n - 1)), _TAIL_CAP))
+        t0_p = max(1, w - min(_flog2(max(1, n - 1)), _tail_cap()))
         from . import merkle_pallas
         res = merkle_pallas.walk_leaf_levels(
             val, sib, witness, ti0, levels=t0_p - 1, interpret=interp)
@@ -387,9 +394,9 @@ def _shared_bottom(group: dict) -> dict:
 
     # First dense level.  The agreement machinery costs ~n * width elementwise
     # ops per level while dedup saves (n - width/2) compressions, so wide
-    # levels are a net loss -- only the top _TAIL_CAP levels (where ~75% of
+    # levels are a net loss -- only the top _tail_cap() levels (where ~75% of
     # the structural sharing lives) leave the full-width scan.
-    t0 = max(consumed, w - min(_flog2(max(1, n_eff - 1)), _TAIL_CAP))
+    t0 = max(consumed, w - min(_flog2(max(1, n_eff - 1)), _tail_cap()))
     if t0 > consumed:
         if pallas_walk:
             # quad groups: XLA pair+combine above, fused chain kernel here

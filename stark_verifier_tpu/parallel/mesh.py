@@ -195,7 +195,11 @@ def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = Non
         tree, ok, layouts[par] = ingest.ingest_chunk(
             buf, vcfg, layouts[par], threads=threads, pad_to=chunk)
         if tree is None:                      # nothing parseable
-            out = list(zip(idxs, [False] * len(idxs)))
+            # += not =: a same-parity pending chunk may have just been
+            # collected into `out` above (manifest skips / tree-None chunks
+            # break the parity alternation); overwriting dropped its
+            # verdicts (caught by test_stream_state_machine_randomized)
+            out += list(zip(idxs, [False] * len(idxs)))
             if manifest is not None:
                 manifest[chunk_id] = [False] * len(idxs)
             buf, idxs = [], []

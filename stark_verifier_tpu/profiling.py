@@ -15,15 +15,41 @@ from dataclasses import dataclass, field, asdict
 
 import jax
 
-# Blake2s compressions per proof for the default statement family
-# (derived in SURVEY.md section 3.3 from proof.bin's branch counts/depths)
-COMPRESSIONS_PER_PROOF = (
-    sum(40 * (1 + d) for d in (13, 11, 9, 7, 5))        # FRI columns
-    + sum(160 * (1 + d) for d in (15, 13, 11, 9, 7))    # FRI rows
-    + 160 * (3 + 15)                                    # main (3-block leaves)
-    + 80 * (1 + 15)                                     # lincomb
-    + 5 * 4 + 9 + 4                                     # PRGs + k1..k4
-)
+def compressions_per_proof(cfg=None) -> int:
+    """Blake2s compressions one verification performs, derived from the
+    statement family (round-4 verdict item 4 -- the old module constant
+    hardcoded the default family's depths and silently misreported any
+    other cfg).
+
+    Tree depths follow from the family geometry (SURVEY.md section 3.3;
+    verified against proof.bin's parsed branch depths 13/11/9/7/5 columns,
+    15/13/11/9/7 rows, 15 main/lincomb): with log_p = log2(precision), the
+    level-l column tree has precision/4^(l+1) leaves quad-packed into
+    2^(log_p-2l-4) nodes -> log_p-2l-3 witness hashes after the leaf-pair
+    hash; row trees sit one fold higher (log_p-2l-1); main/lincomb walk the
+    full domain tree (log_p-1).  Each branch pays 1 leaf-pair compression
+    (3 for the 96-byte main leaves: H(value||sibling) over 192 bytes = 3
+    64-byte blocks) plus one per witness.  Index PRGs read 8 indices per
+    32-byte digest starting from the seed root ITSELF (utils.rs:67), so a
+    group of n indices costs ceil(n/8)-1 hashes; k1..k4 are 4 more
+    (main.rs:131-146)."""
+    from .config import StarkConfig
+    cfg = cfg or StarkConfig()
+    log_p = cfg.precision.bit_length() - 1
+    q, s = cfg.fri_queries, cfg.spot_checks
+    total = 4                                      # k1..k4
+    for l in range(cfg.fri_levels):
+        total += q * (1 + (log_p - 2 * l - 3))     # column branches
+        total += 4 * q * (1 + (log_p - 2 * l - 1))  # row branches
+        total += -(-q // 8) - 1                    # per-level index PRG
+    total += 2 * s * (3 + (log_p - 1))             # main (3-block leaves)
+    total += s * (1 + (log_p - 1))                 # lincomb
+    total += -(-s // 8) - 1                        # spot-check index PRG
+    return total
+
+
+# default-family constant kept for callers that don't thread a cfg
+COMPRESSIONS_PER_PROOF = compressions_per_proof()
 
 
 @dataclass
@@ -46,6 +72,8 @@ class BenchReport:
     p50_s: float
     device: str
     n_devices: int = 1
+    comp_per_proof: int = COMPRESSIONS_PER_PROOF   # cfg-derived: pass
+    # compressions_per_proof(cfg) for non-default families
 
     @property
     def proofs_per_s(self) -> float:
@@ -57,7 +85,7 @@ class BenchReport:
 
     @property
     def compressions_per_s(self) -> float:
-        return self.proofs_per_s * COMPRESSIONS_PER_PROOF
+        return self.proofs_per_s * self.comp_per_proof
 
     def to_json(self) -> str:
         d = asdict(self)

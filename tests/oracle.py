@@ -508,3 +508,26 @@ def verify_proof_bytes(proof_bytes: bytes, inp: int = 3, log_steps: int = 13,
                                  MODULUS, trace)
     except (AssertionError, ValueError, IndexError):
         return False
+
+
+def quartic_weight_consts(G2: int, precision: int, m: int = MODULUS):
+    """Barycentric weight constants for the (stale) quartic FRI row nodes
+    q_i = G2^(i*precision/4): w_i = prod_{j!=i}(q_i - q_j), plus their
+    modular inverses, as [4, 16] limb arrays.
+
+    Test-only since round 5: the production verifier evaluates rows with
+    the even/odd split (quartic.eval4_even_odd, tables.quartic_ginv/inv4);
+    the barycentric formulations these feed survive as independent
+    cross-check implementations in test_quartic/test_fri_pallas.
+    """
+    from stark_verifier_tpu import fp
+    qr = [pow(G2, i * precision // 4, m) for i in range(4)]
+    wc = []
+    for i in range(4):
+        prod = 1
+        for j in range(4):
+            if j != i:
+                prod = prod * (qr[i] - qr[j]) % m
+        wc.append(prod % m)
+    winv = [pow(w, m - 2, m) for w in wc]
+    return fp.ints_to_limbs(wc), fp.ints_to_limbs(winv)

@@ -138,27 +138,6 @@ def test_ops_jit_and_vmap():
     assert to_ints(vm(da, db)) == [x * y % P for x, y in zip(a, b)]
 
 
-def test_is_zero_combo():
-    """Multi-term zero test: sum(pos) - sum(neg) ≡ 0 (mod p) without a
-    canonical difference materialization."""
-    terms = [rng.randrange(P) for _ in range(5)]
-    pos = [terms[0]]
-    neg_ok = [terms[1], terms[2],
-              (terms[0] - terms[1] - terms[2]) % P]      # sums to zero
-    neg_bad = [terms[1], terms[2], (terms[0] - terms[1]) % P]
-    d_pos = [to_dev([t]) for t in pos]
-    got_ok = np.asarray(field.is_zero_combo(d_pos, [to_dev([t]) for t in neg_ok]))
-    got_bad = np.asarray(field.is_zero_combo(d_pos, [to_dev([t]) for t in neg_bad]))
-    assert got_ok.all() and not got_bad.any()
-    # all-zero terms and the p-wrap case (D lands exactly on p)
-    z = to_dev([0])
-    assert np.asarray(field.is_zero_combo([z], [z])).all()
-    assert np.asarray(field.is_zero_combo([to_dev([P - 1]), to_dev([1])],
-                                          [to_dev([0])])).all()
-    assert not np.asarray(field.is_zero_combo([to_dev([P - 1]), to_dev([2])],
-                                              [to_dev([0])])).any()
-
-
 def test_mul_sum_mod():
     """k-product + addend accumulation with a single fold reduction."""
     for n in (1, 2, 4, 5, 16):

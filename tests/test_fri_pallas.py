@@ -72,7 +72,9 @@ def _check(G, sx_int):
     got_xla = np.asarray(quartic.eval4_even_odd(
         x1_inv, x1sq_inv, ys, sx, jnp.asarray(ginv), jnp.asarray(inv4)))
     got_bary = np.asarray(quartic.eval4_inv_free(
-        nodes, x1cb_inv, jnp.asarray(tables.quartic_winv), ys, sx))
+        nodes, x1cb_inv,
+        jnp.asarray(oracle.quartic_weight_consts(tables.G2, 65536)[1]),
+        ys, sx))
 
     assert [fp.limbs_to_int(r) for r in got_pallas] == want
     np.testing.assert_array_equal(got_pallas, got_xla)

@@ -33,7 +33,8 @@ def _eval_device(e1_list, ys_rows, sx_int):
     ys = jnp.asarray(np.stack([fp.ints_to_limbs(r) for r in ys_rows]))
     sx = jnp.asarray(fp.int_to_limbs(sx_int % (1 << 256)))
     f = jax.jit(lambda n, c, y, s: quartic.eval4_inv_free(
-        n, c, jnp.asarray(tables.quartic_winv), y, s))
+        n, c, jnp.asarray(oracle.quartic_weight_consts(
+            tables.G2, 65536)[1]), y, s))
     out = f(nodes, x1cb_inv, ys, sx)
     return [fp.limbs_to_int(r) for r in np.asarray(out)]
 
@@ -51,7 +52,8 @@ def _eval_device_legacy(e1_list, ys_rows, sx_int):
     ys = jnp.asarray(np.stack([fp.ints_to_limbs(r) for r in ys_rows]))
     sx = jnp.asarray(fp.int_to_limbs(sx_int % (1 << 256)))
     f = jax.jit(lambda n, c, y, s: quartic.eval_interp4_nodes(
-        n, c, jnp.asarray(tables.quartic_wconsts), y, s))
+        n, c, jnp.asarray(oracle.quartic_weight_consts(
+            tables.G2, 65536)[0]), y, s))
     out = f(nodes, x1cb, ys, sx)
     return [fp.limbs_to_int(r) for r in np.asarray(out)]
 
