@@ -114,6 +114,31 @@ def _make_sharded_cached(mesh: Mesh, cfg: StarkConfig, inp: int,
     return jax.jit(verify_fn, out_shardings=out_shardings)
 
 
+def make_sharded_blob_verifier(mesh: Mesh, cfg: StarkConfig | None = None,
+                               inp: int = 3, axis_name: str = "data"):
+    """Sharded DEVICE-PARSE verifier: fn(words [B, layout.words] uint32) ->
+    (verdict [B], shape_ok [B]) with deserialization fused into the graph
+    (proofio.static_layout).  Returns (fn, layout).  Memoized."""
+    return _make_sharded_blob_cached(mesh, cfg or StarkConfig(), inp,
+                                     axis_name)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_sharded_blob_cached(mesh: Mesh, cfg: StarkConfig, inp: int,
+                              axis_name: str):
+    from ..proofio import static_layout as SL
+    lay = SL.canonical_layout(cfg)
+    inner, _tables = V.make_verifier(cfg, inp, shared_merkle=True)
+    out_shardings = (NamedSharding(mesh, P(axis_name)),
+                     NamedSharding(mesh, P(axis_name)))
+
+    def verify_fn(words):
+        tree, shape_ok = lay.parse(words)
+        return inner(tree) & shape_ok, shape_ok
+
+    return jax.jit(verify_fn, out_shardings=out_shardings), lay
+
+
 def verify_batch(proof_trees: list, mesh: Mesh | None = None,
                  cfg: StarkConfig | None = None, inp: int = 3) -> np.ndarray:
     """Convenience: stack host proof trees, shard, verify; returns verdicts."""
@@ -128,7 +153,8 @@ def verify_batch(proof_trees: list, mesh: Mesh | None = None,
 
 def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = None,
                   cfg: StarkConfig | None = None, inp: int = 3,
-                  manifest: dict | None = None, threads: int = 4):
+                  manifest: dict | None = None, threads: int = 4,
+                  device_parse: bool = False):
     """Chunked verification of an arbitrarily large proof stream.
 
     proof_blobs: iterable of serialized proof byte strings.  Chunks of
@@ -137,6 +163,17 @@ def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = Non
     np.stack), sharded over the mesh, and verified; yields (global_index,
     verdict) pairs.  Malformed or family-mismatched proofs reject without
     aborting the stream (the reference would panic, SURVEY.md 2.2.8).
+
+    device_parse=True switches ingestion to DEVICE-SIDE deserialization
+    (proofio.static_layout): each blob uploads as one contiguous uint32 row
+    and the proof pytree is built inside the verifier graph from static
+    slices -- no host parsing, one H2D array per chunk.  Blobs that are not
+    canonical-layout proofs of the family (shape_ok=False on device, or a
+    non-canonical length under strict mode) are REROUTED through the host
+    parser chunk-wise, so verdicts are identical to the host path -- a
+    valid-but-oddly-padded proof still verifies, an adversarial blob still
+    only rejects itself (per-proof independence, main.rs:199-227).  The
+    host fallback graph compiles lazily on first use.
 
     `manifest`, if given, is a dict recording completed chunk ids -- rerunning
     with the same manifest skips finished chunks (verification is pure, so
@@ -159,21 +196,71 @@ def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = Non
     # at most once per process
 
     buf, idxs = [], []
-    # DOUBLE-BUFFERED ingest layouts: chunk k fills layouts[k % 2], so the
-    # H2D copies of chunk k-1 (whose buffers are layouts[(k-1) % 2]) overlap
-    # chunk k's host parse.  Reusing layouts[k % 2] for chunk k is safe
-    # because chunk k-2's verdicts were already fetched in the previous
+    # DOUBLE-BUFFERED host-side buffers: chunk k fills slot [k % 2], so the
+    # H2D copies of chunk k-1 (whose buffers are slot [(k-1) % 2]) overlap
+    # chunk k's host packing/parsing.  Reusing slot [k % 2] for chunk k is
+    # safe because chunk k-2's verdicts were already fetched in the previous
     # flush, which orders after its H2D.
-    layouts = [None, None]
+    layouts = [None, None]           # host-parse mode: ingest BatchLayouts
+    packs = [None, None]             # device-parse mode: [chunk, words] u32
     chunk_id = 0
-    pending = None           # (chunk_id, idxs, ok, device_verdicts) in flight
+    pending = None                   # in-flight chunk descriptor
+    sharding = NamedSharding(mesh, P("data"))
+
+    def host_verdicts(blobs):
+        """Host-parse path for one chunk of blobs -> bool[n] (the fallback
+        for non-canonical blobs in device-parse mode)."""
+        tree, ok, _lay = ingest.ingest_chunk(blobs, vcfg, None,
+                                             threads=threads, pad_to=chunk)
+        if tree is None:
+            return np.zeros(len(blobs), dtype=bool)
+        rect = pdevice.is_rectangular(tree)
+        fn = make_sharded_verifier(mesh, vcfg, inp, shared_merkle=rect)
+        dv, _ = fn(shard_batch(tree, mesh))
+        return np.asarray(dv)[:len(blobs)] & ok
 
     def collect(p):
-        cid, p_idxs, ok, dv = p
-        verdicts = np.asarray(dv)[:len(p_idxs)] & ok  # blocks on the device
+        if p[0] == "host":
+            _, cid, p_idxs, ok, dv = p
+            verdicts = np.asarray(dv)[:len(p_idxs)] & ok  # blocks on device
+        else:
+            _, cid, p_idxs, p_blobs, exact, dv, so = p
+            n = len(p_idxs)
+            verdicts = np.asarray(dv)[:n].copy()
+            shape_ok = np.asarray(so)[:n]
+            fallback = ~shape_ok
+            if vcfg.strict:
+                # trailing bytes must reject in strict mode; the packed
+                # prefix cannot see them -> host path decides
+                fallback |= ~exact
+            if fallback.any():
+                hv = host_verdicts([p_blobs[j]
+                                    for j in np.flatnonzero(fallback)])
+                verdicts[np.flatnonzero(fallback)] = hv
         if manifest is not None:
             manifest[cid] = [bool(v) for v in verdicts]
         return list(zip(p_idxs, (bool(v) for v in verdicts)))
+
+    def dispatch_host(par):
+        nonlocal layouts
+        tree, ok, layouts[par] = ingest.ingest_chunk(
+            buf, vcfg, layouts[par], threads=threads, pad_to=chunk)
+        if tree is None:
+            return None
+        rect = pdevice.is_rectangular(tree)
+        batch = shard_batch(tree, mesh)       # async H2D from layouts[par]
+        fn = make_sharded_verifier(mesh, vcfg, inp, shared_merkle=rect)
+        verdicts, _ = fn(batch)               # async dispatch
+        return ("host", chunk_id, idxs, ok, verdicts)
+
+    def dispatch_device(par):
+        fn, lay = make_sharded_blob_verifier(mesh, vcfg, inp)
+        if packs[par] is None:
+            packs[par] = np.zeros((chunk, lay.words), dtype=np.uint32)
+        packed, exact = lay.pack(buf, out=packs[par])
+        words = jax.device_put(packed, sharding)   # ONE async H2D array
+        verdicts, shape_ok = fn(words)             # async dispatch
+        return ("dev", chunk_id, idxs, buf, exact, verdicts, shape_ok)
 
     def flush():
         nonlocal buf, idxs, chunk_id, pending
@@ -186,15 +273,14 @@ def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = Non
             chunk_id += 1
             return out
         par = chunk_id % 2
-        if pending is not None and pending[0] % 2 == par:
+        if pending is not None and pending[1] % 2 == par:
             # same-parity in-flight chunk (manifest skips break the strict
-            # alternation): its H2D may still be reading layouts[par] --
+            # alternation): its H2D may still be reading slot [par] --
             # fetch its verdicts before refilling those buffers
             out += collect(pending)
             pending = None
-        tree, ok, layouts[par] = ingest.ingest_chunk(
-            buf, vcfg, layouts[par], threads=threads, pad_to=chunk)
-        if tree is None:                      # nothing parseable
+        p = dispatch_device(par) if device_parse else dispatch_host(par)
+        if p is None:                         # nothing parseable (host path)
             # += not =: a same-parity pending chunk may have just been
             # collected into `out` above (manifest skips / tree-None chunks
             # break the parity alternation); overwriting dropped its
@@ -205,15 +291,11 @@ def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = Non
             buf, idxs = [], []
             chunk_id += 1
             return out
-        rect = pdevice.is_rectangular(tree)
-        batch = shard_batch(tree, mesh)       # async H2D from layouts[par]
-        fn = make_sharded_verifier(mesh, vcfg, inp, shared_merkle=rect)
-        verdicts, _ = fn(batch)               # async dispatch
         if pending is not None:
             # fetching the PREVIOUS chunk's verdicts also orders after its
-            # H2D, so its layout (the one the NEXT chunk fills) is free
-            out = collect(pending)
-        pending = (chunk_id, idxs, ok, verdicts)
+            # H2D, so its buffers (the ones the NEXT chunk fills) are free
+            out += collect(pending)
+        pending = p
         buf, idxs = [], []
         chunk_id += 1
         return out

@@ -191,13 +191,17 @@ def test_ingest_deep_synthetic_head_then_rebuild(proof_bytes):
 # randomized pipelining state-machine property test (stubbed verifier)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.parametrize("device_parse", [False, True])
 def test_stream_state_machine_randomized(proof_bytes, small_family_blob,
-                                         monkeypatch):
+                                         monkeypatch, device_parse):
     """>=100 random schedules (blob mixes x chunk sizes x mesh widths x
     partial-manifest resumes) through verify_stream, with the device
     verifier stubbed by a root-comparison so the double-buffer / pending /
     manifest-skip interplay (parallel/mesh.py:160-225) is exercised at
-    interactive speed.  Expected verdicts come from a naive one-blob-at-a-
+    interactive speed -- in both host-parse and device-parse ingestion
+    modes (the latter stubs the blob verifier with the REAL static-layout
+    parse for shape_ok plus the root comparison, so the fallback rerouting
+    is exercised too).  Expected verdicts come from a naive one-blob-at-a-
     time reference (= the reference's per-proof main(), main.rs:199-227)."""
     cfg = StarkConfig()
     golden_root = np.frombuffer(proof_bytes[:32], dtype="<u4")
@@ -224,6 +228,24 @@ def test_stream_state_machine_randomized(proof_bytes, small_family_blob,
     monkeypatch.setattr(M, "make_sharded_verifier",
                         fake_make_sharded_verifier)
 
+    if device_parse:
+        from stark_verifier_tpu.proofio import static_layout as SL
+        lay = SL.canonical_layout(cfg)
+        parse_j = jax.jit(lay.parse)      # one jitted parse, cached by shape
+
+        def fake_make_sharded_blob_verifier(mesh, vcfg, inp=3,
+                                            axis_name="data"):
+            def fn(words):
+                w = np.asarray(words)
+                _, shape_ok = parse_j(w)
+                so = np.asarray(shape_ok)
+                v = (w[:, :8] == golden_root).all(axis=1) & so
+                return v, so
+            return fn, lay
+
+        monkeypatch.setattr(M, "make_sharded_blob_verifier",
+                            fake_make_sharded_blob_verifier)
+
     def naive_verdict(blob):
         """One blob per 'process': ingest alone, stub-verify alone."""
         tree, ok, _ = ingest.ingest_chunk([blob], cfg)
@@ -244,13 +266,15 @@ def test_stream_state_machine_randomized(proof_bytes, small_family_blob,
         mesh = M.make_mesh(rng.choice([1, 2]))
         manifest = {}
         got = dict(M.verify_stream(blobs, chunk=chunk, mesh=mesh,
-                                   manifest=manifest))
+                                   manifest=manifest,
+                                   device_parse=device_parse))
         assert got == want, (trial, picks, chunk, got, want)
         # partial-manifest resume: keep a random subset of completed chunks
         # (breaks the strict parity alternation -> same-parity pending path)
         kept = {k: v for k, v in manifest.items() if rng.random() < 0.5}
         got2 = dict(M.verify_stream(blobs, chunk=chunk, mesh=mesh,
-                                    manifest=kept))
+                                    manifest=kept,
+                                    device_parse=device_parse))
         assert got2 == want, (trial, "resume", picks, chunk, got2, want)
 
 
