@@ -87,6 +87,7 @@ def bench_stream_prestage(n_proofs: int, chunk: int):
 
     with open("/root/reference/proof.bin", "rb") as f:
         pb = f.read()
+    n_proofs = -(-n_proofs // chunk) * chunk       # whole chunks: one shape
     blobs = [bytes(pb) for _ in range(n_proofs)]
     cfg = StarkConfig()
     lay = SL.canonical_layout(cfg)

@@ -44,11 +44,6 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 
-# production kernel env, matching bench.py defaults (set before any
-# stark_verifier_tpu import so every builder sees them)
-os.environ.setdefault("STARK_PALLAS", "1")
-os.environ.setdefault("STARK_PALLAS_WALK", "1")
-
 PROOF = open("/root/reference/proof.bin", "rb").read()
 
 
@@ -109,6 +104,10 @@ def oracle_verdict(off_bit):
 
 
 def main():
+    # production kernel env, matching bench.py defaults (set here, not at
+    # module level: tests import span_map and must not inherit the flags)
+    os.environ.setdefault("STARK_PALLAS", "1")
+    os.environ.setdefault("STARK_PALLAS_WALK", "1")
     n_offsets = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     rng = random.Random(0xF1A7)
