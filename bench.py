@@ -102,17 +102,15 @@ def bench_stream_prestage(n_proofs: int, chunk: int):
     t_h2d = time.perf_counter() - t0
 
     mesh = M.make_mesh(1)
-    fn, _ = M.make_sharded_blob_verifier(mesh, cfg)
-    warm = np.asarray(fn(words_all[:chunk])[0])    # compile + warm
+    # chunked-in-graph: ONE dispatch for the whole prestaged batch
+    fn, _ = M.make_sharded_blob_verifier(mesh, cfg, chunk=chunk)
+    warm = np.asarray(fn(words_all)[0])            # compile + warm
     assert warm.all(), "golden proof rejected -- refusing to bench"
 
     t0 = time.perf_counter()
-    all_ok = True
-    for i in range(0, n_proofs, chunk):
-        v, _ = fn(words_all[i:i + chunk])      # device-side slice, no H2D
-        all_ok &= bool(np.asarray(v).all())
+    v = np.asarray(fn(words_all)[0])
     t_verify = time.perf_counter() - t0
-    assert all_ok
+    assert v.all()
 
     rate = n_proofs / (t_h2d + t_verify)
     print(json.dumps({

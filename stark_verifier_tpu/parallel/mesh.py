@@ -115,26 +115,43 @@ def _make_sharded_cached(mesh: Mesh, cfg: StarkConfig, inp: int,
 
 
 def make_sharded_blob_verifier(mesh: Mesh, cfg: StarkConfig | None = None,
-                               inp: int = 3, axis_name: str = "data"):
+                               inp: int = 3, axis_name: str = "data",
+                               chunk: int | None = None):
     """Sharded DEVICE-PARSE verifier: fn(words [B, layout.words] uint32) ->
     (verdict [B], shape_ok [B]) with deserialization fused into the graph
-    (proofio.static_layout).  Returns (fn, layout).  Memoized."""
+    (proofio.static_layout).  Returns (fn, layout).  Memoized.
+
+    chunk: process the batch in fixed-size chunks INSIDE the graph
+    (lax.map), amortizing the per-dispatch floor over arbitrarily large
+    prestaged batches -- the blob analogue of make_chunked_verifier
+    (single-chip oriented; batch must divide by chunk)."""
     return _make_sharded_blob_cached(mesh, cfg or StarkConfig(), inp,
-                                     axis_name)
+                                     axis_name, chunk)
 
 
 @functools.lru_cache(maxsize=8)
 def _make_sharded_blob_cached(mesh: Mesh, cfg: StarkConfig, inp: int,
-                              axis_name: str):
+                              axis_name: str, chunk: int | None):
     from ..proofio import static_layout as SL
     lay = SL.canonical_layout(cfg)
     inner, _tables = V.make_verifier(cfg, inp, shared_merkle=True)
     out_shardings = (NamedSharding(mesh, P(axis_name)),
                      NamedSharding(mesh, P(axis_name)))
 
-    def verify_fn(words):
+    def one(words):
         tree, shape_ok = lay.parse(words)
         return inner(tree) & shape_ok, shape_ok
+
+    def verify_fn(words):
+        if chunk is None or words.shape[0] <= chunk:
+            return one(words)
+        batch = words.shape[0]
+        if batch % chunk:
+            raise ValueError(
+                f"batch {batch} must be a multiple of chunk {chunk}")
+        v, so = jax.lax.map(
+            one, words.reshape(batch // chunk, chunk, words.shape[1]))
+        return v.reshape(batch), so.reshape(batch)
 
     return jax.jit(verify_fn, out_shardings=out_shardings), lay
 

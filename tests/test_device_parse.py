@@ -96,3 +96,41 @@ def test_stream_device_parse_strict_trailing(proof_bytes):
     got = dict(M.verify_stream(blobs, chunk=2, mesh=M.make_mesh(2),
                                cfg=cfg, device_parse=True))
     assert got == {0: False, 1: True}
+
+
+def test_device_parse_small_family():
+    """The canonical layout is a pure function of the family geometry: a
+    freshly proven log_steps=9 proof must match its layout byte-for-byte
+    and verify through the device parser (not just the bundled proof.bin)."""
+    import prover
+    consts = [(i ** 3) ^ 7 for i in range(16)]
+    pb9, _out = prover.prove_to_bytes(5, 512, consts)
+    cfg9 = StarkConfig(log_steps=9, num_constants=16)
+    lay = SL.canonical_layout(cfg9)
+    assert lay.nbytes == len(pb9)
+
+    buf, exact = lay.pack([pb9, pb9[:500]])
+    assert exact.tolist() == [True, False]
+    tree, shape_ok = jax.jit(lay.parse)(buf)
+    assert np.asarray(shape_ok).tolist() == [True, False]
+    want = device.proof_tree(wire.parse_proof(pb9))
+    got = jax.tree.map(lambda a: np.asarray(a[0]), tree)
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        assert a.shape == b.shape and (np.asarray(a) == b).all()
+
+
+def test_chunked_blob_verifier_matches(proof_bytes):
+    """The lax.map chunked form (prestage bench path) must equal the flat
+    blob verifier's verdicts."""
+    cfg = StarkConfig()
+    mesh = M.make_mesh(1)
+    corrupt = bytearray(proof_bytes)
+    corrupt[200] ^= 2
+    fn_flat, lay = M.make_sharded_blob_verifier(mesh, cfg)
+    fn_chunk, _ = M.make_sharded_blob_verifier(mesh, cfg, chunk=2)
+    buf, _ = lay.pack([proof_bytes, bytes(corrupt), proof_bytes,
+                       proof_bytes[:100]])
+    vf, sf = (np.asarray(x) for x in fn_flat(buf))
+    vc, sc = (np.asarray(x) for x in fn_chunk(buf))
+    assert vf.tolist() == vc.tolist() == [True, False, True, False]
+    assert sf.tolist() == sc.tolist() == [True, True, True, False]
