@@ -93,7 +93,7 @@ def bench_stream_prestage(n_proofs: int, chunk: int):
     lay = SL.canonical_layout(cfg)
 
     t0 = time.perf_counter()
-    packed, _exact = lay.pack(blobs)               # [n, words] uint32
+    packed, _lens = lay.pack(blobs)                # [n, words] uint32
     t_pack = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -132,7 +132,8 @@ def bench_stream_prestage(n_proofs: int, chunk: int):
 def main():
     import os
     if "--stream-prestage" in sys.argv:
-        args = [a for a in sys.argv[1:] if a != "--stream-prestage"]
+        args = [a for a in sys.argv[1:]
+                if a not in ("--stream-prestage", "--device-parse")]
         n = int(args[0]) if args else 4096
         chunk = int(args[1]) if len(args) > 1 else 512
         return bench_stream_prestage(n, chunk)

@@ -224,11 +224,14 @@ def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = Non
     pending = None                   # in-flight chunk descriptor
     sharding = NamedSharding(mesh, P("data"))
 
+    fb_layout = [None]               # persistent host-fallback ingest layout
+
     def host_verdicts(blobs):
         """Host-parse path for one chunk of blobs -> bool[n] (the fallback
-        for non-canonical blobs in device-parse mode)."""
-        tree, ok, _lay = ingest.ingest_chunk(blobs, vcfg, None,
-                                             threads=threads, pad_to=chunk)
+        for non-canonical blobs in device-parse mode).  Synchronous, so the
+        persistent fallback layout is free for reuse on return."""
+        tree, ok, fb_layout[0] = ingest.ingest_chunk(
+            blobs, vcfg, fb_layout[0], threads=threads, pad_to=chunk)
         if tree is None:
             return np.zeros(len(blobs), dtype=bool)
         rect = pdevice.is_rectangular(tree)
@@ -241,15 +244,18 @@ def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = Non
             _, cid, p_idxs, ok, dv = p
             verdicts = np.asarray(dv)[:len(p_idxs)] & ok  # blocks on device
         else:
-            _, cid, p_idxs, p_blobs, exact, dv, so = p
+            _, cid, p_idxs, p_blobs, lens, nbytes, dv, so = p
             n = len(p_idxs)
             verdicts = np.asarray(dv)[:n].copy()
             shape_ok = np.asarray(so)[:n]
-            fallback = ~shape_ok
+            # reroute to the host parser: shape-lane failures; SHORT blobs
+            # in every mode (zero-padding could silently reconstruct a
+            # truncated proof whose missing tail bytes were zero, which the
+            # host parser rejects); non-exact lengths under strict mode
+            # (the packed prefix cannot see trailing bytes)
+            fallback = ~shape_ok | (lens < nbytes)
             if vcfg.strict:
-                # trailing bytes must reject in strict mode; the packed
-                # prefix cannot see them -> host path decides
-                fallback |= ~exact
+                fallback |= lens != nbytes
             if fallback.any():
                 hv = host_verdicts([p_blobs[j]
                                     for j in np.flatnonzero(fallback)])
@@ -274,10 +280,11 @@ def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = Non
         fn, lay = make_sharded_blob_verifier(mesh, vcfg, inp)
         if packs[par] is None:
             packs[par] = np.zeros((chunk, lay.words), dtype=np.uint32)
-        packed, exact = lay.pack(buf, out=packs[par])
+        packed, lens = lay.pack(buf, out=packs[par])
         words = jax.device_put(packed, sharding)   # ONE async H2D array
         verdicts, shape_ok = fn(words)             # async dispatch
-        return ("dev", chunk_id, idxs, buf, exact, verdicts, shape_ok)
+        return ("dev", chunk_id, idxs, buf, lens, lay.nbytes,
+                verdicts, shape_ok)
 
     def flush():
         nonlocal buf, idxs, chunk_id, pending

@@ -325,7 +325,11 @@ def ingest_chunk(blobs: list, cfg, layout: BatchLayout | None = None,
         if cfg.strict and _meta_consumed(m) != len(blobs[j]):
             return                     # strict mode rejects trailing bytes
         if layout.compatible(m):
-            layout.fill_slot(lib, blobs[j], j)
+            try:
+                layout.fill_slot(lib, blobs[j], j)
+            except wire.WireFormatError:
+                return                 # scan/fill divergence: reject, never
+                                       # abort the chunk (SURVEY.md 2.2.8)
             filled[j] = True           # vectorized family checks below
             return
         # structural outlier (ragged groups / different witness padding):

@@ -154,18 +154,22 @@ class CanonicalLayout:
         """Pack wire blobs into a [len(blobs) or out.shape[0], words] uint32
         batch buffer (reusable across chunks).
 
-        Returns (buf, exact_len [n] bool).  Short blobs are zero-padded
-        (their tag lanes then fail on device); long blobs are truncated to
+        Returns (buf, lens [n] int64 byte lengths).  Long blobs truncate to
         the canonical prefix (the reference tolerates trailing garbage,
-        main.rs:204 -- exact_len=False lets strict mode reroute them)."""
+        main.rs:204; strict mode reroutes lens != nbytes to the host
+        parser).  Short blobs zero-pad, but callers MUST reroute every
+        lens < nbytes blob to the host parser in ALL modes: the shape
+        lanes usually catch truncation, except when the missing trailing
+        bytes happened to be zero -- the zero-padding would silently
+        reconstruct the full proof the host parser rejects as truncated."""
         n = len(blobs)
         if out is None:
             out = np.zeros((n, self.words), dtype=np.uint32)
-        exact = np.zeros(n, dtype=bool)
+        lens = np.zeros(n, dtype=np.int64)
         nb = self.nbytes
         for i, b in enumerate(blobs):
             ln = len(b)
-            exact[i] = ln == nb
+            lens[i] = ln
             if ln >= nb:
                 out[i] = np.frombuffer(b, dtype="<u4", count=self.words)
             else:
@@ -176,7 +180,7 @@ class CanonicalLayout:
                 if rem:
                     tail = b[4 * lw:] + b"\x00" * (4 - rem)
                     out[i, lw] = np.frombuffer(tail, dtype="<u4", count=1)[0]
-        return out, exact
+        return out, lens
 
 
 @functools.lru_cache(maxsize=8)

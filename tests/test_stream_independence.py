@@ -289,3 +289,26 @@ def test_stream_mixed_adversarial_e2e(proof_bytes, small_family_blob):
              proof_bytes, bytes(corrupt), proof_bytes]
     got = dict(M.verify_stream(blobs, chunk=2, mesh=M.make_mesh(2)))
     assert got == {0: False, 1: True, 2: False, 3: True, 4: False, 5: True}
+
+
+def test_ingest_slow_fallback_independence(proof_bytes, small_family_blob,
+                                           monkeypatch):
+    """The pure-Python fallback (_ingest_chunk_slow, used when no C
+    compiler exists) must give the same per-proof verdict independence:
+    adversarial blobs reject alone, and trees with differing witness
+    padding pad-stack instead of crashing np.stack."""
+    from stark_verifier_tpu import native
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    cfg = StarkConfig()
+    blobs = [_zero_level_proof(), small_family_blob, proof_bytes,
+             _synthetic_family_blob(cfg, 1), proof_bytes[:90], proof_bytes]
+    tree, ok, _ = ingest.ingest_chunk(blobs, cfg, pad_to=8)
+    # synthetic depth-1 blob is structurally valid (verification rejects it
+    # later); its presence must not crash the ragged pad-stack
+    assert ok.tolist() == [False, False, True, True, False, True]
+    good = device.proof_tree(wire.parse_proof(proof_bytes))
+    got2 = jax.tree.map(lambda a: a[2], tree)
+    for la, lb in zip(jax.tree.leaves(got2), jax.tree.leaves(good)):
+        la, lb = np.asarray(la), np.asarray(lb)
+        sl = tuple(slice(0, s) for s in lb.shape)
+        assert (la[sl] == lb).all()

@@ -44,7 +44,17 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 
-PROOF = open("/root/reference/proof.bin", "rb").read()
+_PROOF = None
+
+
+def get_proof() -> bytes:
+    """Lazy golden-proof loader (module import must stay side-effect free:
+    tests import span_map on hosts that may lack /root/reference)."""
+    global _PROOF
+    if _PROOF is None:
+        with open("/root/reference/proof.bin", "rb") as f:
+            _PROOF = f.read()
+    return _PROOF
 
 
 def span_map(proof_bytes: bytes):
@@ -91,9 +101,10 @@ def span_map(proof_bytes: bytes):
 
 def mutate(off_bit):
     off, bit = off_bit
+    proof = get_proof()
     if off < 0:            # trailing-garbage case: append bytes
-        return PROOF + b"\x5a" * 8
-    b = bytearray(PROOF)
+        return proof + b"\x5a" * 8
+    b = bytearray(proof)
     b[off] ^= 1 << bit
     return bytes(b)
 
@@ -112,7 +123,7 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     rng = random.Random(0xF1A7)
 
-    spans = span_map(PROOF)                 # imports proofio.wire (numpy-only)
+    spans = span_map(get_proof())                 # imports proofio.wire (numpy-only)
     total_bytes = sum(e - s for s, e, _ in spans)
     print(f"{len(spans)} committed-value spans, {total_bytes} bytes",
           flush=True)
@@ -146,7 +157,7 @@ def main():
 
     fn_par, _ = V.make_verifier(StarkConfig())
     fn_str, _ = V.make_verifier(StarkConfig(strict=True))
-    golden = device.proof_tree(wire.parse_proof_fast(PROOF))
+    golden = device.proof_tree(wire.parse_proof_fast(get_proof()))
     gt = device.to_device(device.replicate_proof(golden, batch))
     t0 = time.perf_counter()
     assert np.asarray(fn_par(gt)).all(), "golden rejected (parity)"
