@@ -156,6 +156,49 @@ def _make_sharded_blob_cached(mesh: Mesh, cfg: StarkConfig, inp: int,
     return jax.jit(verify_fn, out_shardings=out_shardings), lay
 
 
+def shard_point_proof(tree, mesh: Mesh, axis_name: str = "data"):
+    """device_put ONE proof tree with its branch/query/spot-check axes
+    sharded over the mesh -- POINT parallelism (SURVEY.md section 5: the
+    protocol's data-parallel axes inside a single proof are the 40 FRI
+    queries x 4 row points per level, the 160 main / 80 lincomb branches,
+    and the 80 spot checks).  Every sharded axis length must divide the
+    mesh size (40/160/80 all divide 8).  Roots, POINTS, and the statement
+    tables stay replicated; the only cross-chip communication in the
+    compiled graph is the final verdict-AND reduction."""
+    ax = axis_name
+    rep = NamedSharding(mesh, P())
+    row0 = NamedSharding(mesh, P(ax))            # branch-major leaves
+    row1 = NamedSharding(mesh, P(None, ax))      # [level, branch, ...]
+
+    def put(path, x):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        if "fri" in keys:
+            if any(k in keys for k in ("col_witness", "poly_witness")):
+                return jax.device_put(x, row0)   # per-level [q, d, 8] lists
+            if any(k in keys for k in ("root2",)):
+                return jax.device_put(x, rep)
+            return jax.device_put(x, row1)       # [L, q, ...] stacked
+        if any(k in keys for k in ("main", "lincomb")):
+            return jax.device_put(x, row0)       # [n, ...] branch-major
+        return jax.device_put(x, rep)            # roots, points
+
+    return jax.tree_util.tree_map_with_path(put, tree)
+
+
+def verify_point_parallel(tree, mesh: Mesh | None = None,
+                          cfg: StarkConfig | None = None, inp: int = 3) -> bool:
+    """Verify ONE proof with its internal axes sharded over the mesh
+    (latency scaling, the dual of the batch-parallel path).  Uses the
+    lockstep Merkle walk (shared_merkle=False): the shared-path dedup
+    compares state ACROSS branches, which would turn every tree level into
+    cross-chip collectives; the independent walk keeps each branch's chain
+    chip-local so the only collective is the final verdict AND."""
+    mesh = mesh or make_mesh()
+    sharded = shard_point_proof(tree, mesh)
+    fn, _ = V.make_verifier(cfg or StarkConfig(), inp, shared_merkle=False)
+    return bool(np.asarray(fn(sharded)))
+
+
 def verify_batch(proof_trees: list, mesh: Mesh | None = None,
                  cfg: StarkConfig | None = None, inp: int = 3) -> np.ndarray:
     """Convenience: stack host proof trees, shard, verify; returns verdicts."""

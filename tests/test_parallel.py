@@ -57,3 +57,20 @@ def test_cli_bench_mesh(proof_bytes, tmp_path, capsys):
                - report["proofs_per_s"]) <= 0.1 * report["proofs_per_s"]
     eff = json.loads(lines[1])
     assert eff["scaling_efficiency"] > 0
+
+
+def test_point_parallel_single_proof(proof_bytes):
+    """POINT parallelism (SURVEY.md section 5): ONE proof's internal axes
+    (FRI queries, Merkle branches, spot checks) sharded over the 8-device
+    mesh; the only collective is the verdict AND.  Accept and reject must
+    match the unsharded verifier."""
+    tree = device.proof_tree(wire.parse_proof(proof_bytes))
+    mesh = M.make_mesh(8)
+    sharded = M.shard_point_proof(tree, mesh)
+    assert sharded["main"]["value"].sharding.spec == jax.sharding.PartitionSpec("data")
+    assert sharded["fri"]["col_value"].sharding.spec == jax.sharding.PartitionSpec(None, "data")
+    assert M.verify_point_parallel(tree, mesh) is True
+    corrupt = bytearray(proof_bytes)
+    corrupt[110] ^= 0x80
+    tbad = device.proof_tree(wire.parse_proof(bytes(corrupt)))
+    assert M.verify_point_parallel(tbad, mesh) is False
