@@ -124,7 +124,12 @@ def make_sharded_blob_verifier(mesh: Mesh, cfg: StarkConfig | None = None,
     chunk: process the batch in fixed-size chunks INSIDE the graph
     (lax.map), amortizing the per-dispatch floor over arbitrarily large
     prestaged batches -- the blob analogue of make_chunked_verifier
-    (single-chip oriented; batch must divide by chunk)."""
+    (single-chip oriented; batch must divide by chunk).
+
+    Multi-host ingestion composes directly: each process packs its local
+    blobs (CanonicalLayout.pack) and assembles the global sharded words
+    array with shard_batch_per_host (it tree-maps, so a bare [local_n,
+    words] array works) before calling the returned fn."""
     return _make_sharded_blob_cached(mesh, cfg or StarkConfig(), inp,
                                      axis_name, chunk)
 
