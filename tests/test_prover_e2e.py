@@ -156,3 +156,34 @@ def test_general_api_fresh_random_family():
     bad[11] ^= 1
     assert not bool(np.asarray(
         fn(tree, limbs(inp), jnp.asarray(fp.ints_to_limbs(bad)), limbs(out))))
+
+
+def test_third_family_log_steps_11_e2e():
+    """A THIRD statement family (log_steps=11, 32 constants, 4 FRI levels):
+    prove fresh, verify through the library facade AND the device-parse
+    canonical layout -- every family-geometry formula (FRI level count,
+    witness depths, canonical byte layout) exercised at a size neither the
+    bundled proof.bin (2^13) nor the small fixtures (2^9) touch."""
+    import prover
+    import stark_verifier_tpu as sv
+    from stark_verifier_tpu.proofio import static_layout as SL
+    import jax
+    import numpy as np
+
+    consts = [(i ** 5) ^ 3 for i in range(32)]
+    pb11, out = prover.prove_to_bytes(7, 2048, consts)
+    cfg11 = StarkConfig(log_steps=11, num_constants=32)
+    assert cfg11.fri_levels == 4
+
+    # canonical layout is a pure function of the geometry
+    lay = SL.canonical_layout(cfg11)
+    assert lay.nbytes == len(pb11)
+    buf, lens = lay.pack([pb11])
+    tree, shape_ok = jax.jit(lay.parse)(buf)
+    assert np.asarray(shape_ok).tolist() == [True]
+
+    # general API: runtime constants, fresh family
+    assert sv.verify_mimc(7, 2048, consts, out, pb11) is True
+    bad = bytearray(pb11)
+    bad[120] ^= 4
+    assert sv.verify_mimc(7, 2048, consts, out, bytes(bad)) is False
