@@ -17,12 +17,30 @@ def enable_compile_cache(path: str = "/root/repo/.jax_cache") -> None:
     Deliberately a no-op on TPU here: with the axon remote-compile plugin,
     deserializing a cached executable has been observed to hang, while a fresh
     compile completes -- so TPU processes pay one compile per process instead.
+
+    Entries are written with zlib instead of zstd (the zstandard C extension
+    segfaults compressing entries late in long multi-compile processes --
+    tests/conftest.py history); reads sniff the zstd frame magic so caches
+    written either way stay readable.
     """
     import jax
     if jax.default_backend() != "cpu":
         return
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import zlib
+    from jax._src import compilation_cache as _cc
+    if getattr(_cc.decompress_executable, "_svt_zlib_shim", False):
+        return
+    zstd_magic = b"\x28\xb5\x2f\xfd"
+    zstd_decompress = _cc.decompress_executable
+
+    def _sniff(e):
+        return zstd_decompress(e) if e[:4] == zstd_magic else zlib.decompress(e)
+
+    _sniff._svt_zlib_shim = True
+    _cc.compress_executable = zlib.compress
+    _cc.decompress_executable = _sniff
 
 
 def verify_proof_bytes(proof_bytes: bytes, inp: int = 3,

@@ -166,10 +166,20 @@ def shard_point_proof(tree, mesh: Mesh, axis_name: str = "data"):
     sharded over the mesh -- POINT parallelism (SURVEY.md section 5: the
     protocol's data-parallel axes inside a single proof are the 40 FRI
     queries x 4 row points per level, the 160 main / 80 lincomb branches,
-    and the 80 spot checks).  Every sharded axis length must divide the
-    mesh size (40/160/80 all divide 8).  Roots, POINTS, and the statement
-    tables stay replicated; the only cross-chip communication in the
-    compiled graph is the final verdict-AND reduction."""
+    and the 80 spot checks).  The mesh size must divide every sharded
+    axis length (8 divides 40/160/80 for the default family; raises on
+    uneven meshes like 3 or 6).  Roots, POINTS, and the statement tables
+    stay replicated; the only cross-chip communication in the compiled
+    graph is the final verdict-AND reduction."""
+    n_dev = mesh.devices.size
+    q = tree["fri"]["col_value"].shape[-2]
+    for ax_len in (q, tree["main"]["value"].shape[-2],
+                   tree["lincomb"]["value"].shape[-2]):
+        if ax_len % n_dev:
+            raise ValueError(
+                f"mesh size {n_dev} does not divide sharded axis {ax_len}; "
+                f"use a mesh whose size divides the family's query/branch "
+                f"counts")
     ax = axis_name
     rep = NamedSharding(mesh, P())
     row0 = NamedSharding(mesh, P(ax))            # branch-major leaves
@@ -232,13 +242,16 @@ def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = Non
     device_parse=True switches ingestion to DEVICE-SIDE deserialization
     (proofio.static_layout): each blob uploads as one contiguous uint32 row
     and the proof pytree is built inside the verifier graph from static
-    slices -- no host parsing, one H2D array per chunk.  Blobs that are not
-    canonical-layout proofs of the family (shape_ok=False on device, or a
-    non-canonical length under strict mode) are REROUTED through the host
-    parser chunk-wise, so verdicts are identical to the host path -- a
-    valid-but-oddly-padded proof still verifies, an adversarial blob still
-    only rejects itself (per-proof independence, main.rs:199-227).  The
-    host fallback graph compiles lazily on first use.
+    slices -- no host parsing, one H2D array per chunk.  Rerouted to the
+    host parser chunk-wise: shape_ok=False rows, every blob SHORTER than
+    the canonical length in every mode (zero padding could silently
+    reconstruct a truncated proof whose missing tail bytes were zero), and
+    any non-canonical length under strict mode (trailing bytes are
+    invisible to the packed prefix) -- so verdicts are identical to the
+    host path: a valid-but-oddly-padded proof still verifies, an
+    adversarial blob still only rejects itself (per-proof independence,
+    main.rs:199-227).  The host fallback graph compiles lazily on first
+    use.
 
     `manifest`, if given, is a dict recording completed chunk ids -- rerunning
     with the same manifest skips finished chunks (verification is pure, so
@@ -304,10 +317,9 @@ def verify_stream(proof_blobs, chunk: int | None = None, mesh: Mesh | None = Non
             fallback = ~shape_ok | (lens < nbytes)
             if vcfg.strict:
                 fallback |= lens != nbytes
-            if fallback.any():
-                hv = host_verdicts([p_blobs[j]
-                                    for j in np.flatnonzero(fallback)])
-                verdicts[np.flatnonzero(fallback)] = hv
+            fb = np.flatnonzero(fallback)
+            if fb.size:
+                verdicts[fb] = host_verdicts([p_blobs[j] for j in fb])
         if manifest is not None:
             manifest[cid] = [bool(v) for v in verdicts]
         return list(zip(p_idxs, (bool(v) for v in verdicts)))

@@ -327,11 +327,13 @@ def ingest_chunk(blobs: list, cfg, layout: BatchLayout | None = None,
         if layout.compatible(m):
             try:
                 layout.fill_slot(lib, blobs[j], j)
+                filled[j] = True       # vectorized family checks below
+                return
             except wire.WireFormatError:
-                return                 # scan/fill divergence: reject, never
-                                       # abort the chunk (SURVEY.md 2.2.8)
-            filled[j] = True           # vectorized family checks below
-            return
+                pass                   # scan/fill divergence: never abort
+                                       # the chunk (SURVEY.md 2.2.8); fall
+                                       # through to the per-proof host parse,
+                                       # which arbitrates the blob's verdict
         # structural outlier (ragged groups / different witness padding):
         # per-proof parse + validate, then pad into the slot
         try:

@@ -191,11 +191,15 @@ def canonical_layout(cfg: StarkConfig) -> CanonicalLayout:
 def make_blob_verifier(cfg: StarkConfig | None = None, inp: int = 3):
     """Jitted end-to-end fn(words [B, layout.words]) -> (verdict [B],
     shape_ok [B]): device-side deserialization fused into the verifier
-    graph.  verdict is already ANDed with shape_ok; callers reroute
-    shape_ok=False rows through the host parser (which may accept a
-    non-canonical-but-valid proof or produce the structured reject).
-    Memoized like make_verifier (fresh closures would recompile ~4-min
-    graphs)."""
+    graph.  verdict is already ANDed with shape_ok; callers MUST reroute
+    through the host parser (a) shape_ok=False rows (may be
+    non-canonical-but-valid proofs), (b) every row whose blob was SHORTER
+    than layout.nbytes regardless of shape_ok (pack()'s zero padding can
+    silently reconstruct a truncated proof whose missing tail bytes were
+    zero -- the host parser rejects it as truncated), and (c) under
+    strict cfg, every row with length != layout.nbytes (trailing bytes
+    are invisible to the packed prefix).  Memoized like make_verifier
+    (fresh closures would recompile ~4-min graphs)."""
     return _make_blob_verifier_cached(cfg or StarkConfig(), inp)
 
 
