@@ -25,6 +25,41 @@ from . import blake2s
 from .field import bswap32
 
 
+def chain_entries(seed_words: jnp.ndarray, n_entries: int) -> jnp.ndarray:
+    """seed_words [..., 8] -> [..., n_entries, 8]: the raw seed followed by
+    n_entries-1 Blake2s chain links (the seed itself is the first stream
+    entry, NOT hashed first -- utils.rs:67-70).  Chains with different
+    seeds batch along the leading dims: the links are sequential, so
+    stacking every chain the protocol needs into one lane axis turns many
+    skinny latency-bound dispatches into one per link (docs/PERF.md
+    round-5 PRG note)."""
+    entries = [seed_words]
+    cur = seed_words
+    for _ in range(n_entries - 1):
+        cur = blake2s.hash_chain(cur)
+        entries.append(cur)
+    return jnp.stack(entries, axis=-2)
+
+
+def indices_from_entries(entries: jnp.ndarray, count: int, modulus,
+                         exclude_multiples_of: int | None = None) -> jnp.ndarray:
+    """entries [..., n_entries, 8] (from chain_entries) -> [..., count]
+    uint32 indices: 4 stream bytes per index read big-endian, reduced mod
+    real_modulus = m*(e-1)/e, remapped to skip multiples of e
+    (utils.rs:79-91)."""
+    m = jnp.asarray(modulus, dtype=jnp.uint32)
+    if exclude_multiples_of is not None:
+        e = exclude_multiples_of
+        real_modulus = (m // jnp.uint32(e)) * jnp.uint32(e - 1)
+    else:
+        real_modulus = m
+    stream = entries.reshape(*entries.shape[:-2], -1)[..., :count]
+    x = bswap32(stream) % real_modulus
+    if exclude_multiples_of is not None:
+        x = jnp.uint32(1) + x + x // jnp.uint32(exclude_multiples_of - 1)
+    return x
+
+
 def pseudorandom_indices(seed_words: jnp.ndarray, count: int, modulus,
                          exclude_multiples_of: int | None = None) -> jnp.ndarray:
     """seed_words: [..., 8] uint32 -> [..., count] uint32 indices.
@@ -33,25 +68,8 @@ def pseudorandom_indices(seed_words: jnp.ndarray, count: int, modulus,
     by exclude_multiples_of when excluding, true for every protocol domain);
     count and the exclusion factor are static.
     """
-    m = jnp.asarray(modulus, dtype=jnp.uint32)
-    if exclude_multiples_of is not None:
-        e = exclude_multiples_of
-        real_modulus = (m // jnp.uint32(e)) * jnp.uint32(e - 1)
-    else:
-        real_modulus = m
-
-    n_entries = -(-count // 8)  # 8 indices per 32-byte stream entry
-    entries = [seed_words]
-    cur = seed_words
-    for _ in range(n_entries - 1):
-        cur = blake2s.hash_chain(cur)
-        entries.append(cur)
-    stream = jnp.concatenate(entries, axis=-1)[..., :count]  # [..., count] words
-
-    x = bswap32(stream) % real_modulus
-    if exclude_multiples_of is not None:
-        x = jnp.uint32(1) + x + x // jnp.uint32(exclude_multiples_of - 1)
-    return x
+    entries = chain_entries(seed_words, -(-count // 8))
+    return indices_from_entries(entries, count, modulus, exclude_multiples_of)
 
 
 pseudorandom_indices_jit = jax.jit(pseudorandom_indices,

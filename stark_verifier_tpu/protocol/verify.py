@@ -47,10 +47,13 @@ def _as_shared_group(root_words, indices, group, witness=None, depth=None):
 
 
 def _fri_checks(l_root_words, fri, tables: StatementTables, cfg: StarkConfig,
-                shared_merkle: bool = True):
+                shared_merkle: bool = True, ys=None):
     """Complete FRI low-degree check, inversion-free.
 
-    Returns (ok [...] bool over all levels, root2 [..., L, 8]).
+    Returns (ok [...] bool over all levels, root2 [..., L, 8]).  ys may be
+    the precomputed [..., L, q] column indices (verify_mimc_proof derives
+    them from a FUSED Fiat-Shamir chain shared with the spot-check PRG);
+    None computes them here (standalone FRI use).
     """
     q = cfg.fri_queries
 
@@ -69,8 +72,9 @@ def _fri_checks(l_root_words, fri, tables: StatementTables, cfg: StarkConfig,
 
     moduli = jnp.asarray(tables.level_moduli_np)           # [L] = rou_deg/4
     mod_b = moduli[:, None]                                # [L, 1]
-    ys = prg.pseudorandom_indices(root2, q, mod_b,
-                                  cfg.extension_factor)    # [..., L, q]
+    if ys is None:
+        ys = prg.pseudorandom_indices(root2, q, mod_b,
+                                      cfg.extension_factor)  # [..., L, q]
     debug.check_bounds(ys, cfg.precision // 4 + 1, "fri column indices")
 
     # column branches verify against the proof's own embedded root2
@@ -212,7 +216,7 @@ def points_direct_check(points_words, tables: StatementTables,
 
 def verify_low_degree_proof(l_root_words, fri, tables: StatementTables,
                             cfg: StarkConfig, points_words=None,
-                            shared_merkle: bool = True):
+                            shared_merkle: bool = True, ys=None):
     """Standalone FRI low-degree check (reference: src/main.rs:31-97).
 
     fri: the stacked level arrays from proofio.device.proof_tree.  All levels
@@ -221,7 +225,8 @@ def verify_low_degree_proof(l_root_words, fri, tables: StatementTables,
     mode -- main.rs:94 TODO; strict mode closes the TODO completely: it binds
     POINTS to the last committed root AND runs the real low-degree test.
     """
-    ok, root2 = _fri_checks(l_root_words, fri, tables, cfg, shared_merkle)
+    ok, root2 = _fri_checks(l_root_words, fri, tables, cfg, shared_merkle,
+                            ys=ys)
     if cfg.strict and points_words is not None:
         ok = jnp.logical_and(
             ok, points_root_binding(points_words, root2[..., -1, :]))
@@ -247,19 +252,42 @@ def verify_mimc_proof(tree, inp, output_limbs, tables: StatementTables,
     m = cfg.modulus
     checks = []
 
+    # FUSED Fiat-Shamir chains: the per-level FRI column PRGs (seeded by
+    # root2, main.rs:56) and the spot-check PRG (seeded by l_merkle_root,
+    # main.rs:149) are independent chains of skinny latency-bound hashes;
+    # stacking them on one lane axis steps them together -- max(nf, ns)-1
+    # sequential links instead of (nf-1) + (ns-1) dispatches, bit-identical
+    # per lane (the links never mix lanes)
+    nf = -(-cfg.fri_queries // 8)
+    ns = -(-cfg.spot_checks // 8)
+    seeds = jnp.concatenate(
+        [tree["fri"]["root2"], tree["l_merkle_root"][..., None, :]],
+        axis=-2)                                           # [..., L+1, 8]
+    entries = prg.chain_entries(seeds, max(nf, ns))        # [..., L+1, n, 8]
+    moduli = jnp.asarray(tables.level_moduli_np)           # [L] = rou_deg/4
+    ys = prg.indices_from_entries(
+        entries[..., :-1, :nf, :], cfg.fri_queries, moduli[:, None],
+        cfg.extension_factor)                              # [..., L, q]
+
     # FRI low-degree proof over the linear-combination tree (main.rs:127)
     checks.append(verify_low_degree_proof(
         tree["l_merkle_root"], tree["fri"], tables, cfg, tree.get("points"),
-        shared_merkle))
+        shared_merkle, ys=ys))
 
-    # k1..k4 = Blake2s(merkle_root || i), raw 256-bit BE ints (main.rs:131-146)
+    # k1..k4 = Blake2s(merkle_root || i), raw 256-bit BE ints
+    # (main.rs:131-146) -- the four 33-byte hashes batch into ONE call
     mroot = tree["merkle_root"]
-    ks = [F.words_be_to_limbs(blake2s.hash_root_byte(mroot, i))
-          for i in (1, 2, 3, 4)]
+    kbytes = jnp.arange(1, 5, dtype=jnp.uint32)            # [4]
+    kin = jnp.concatenate(
+        [jnp.broadcast_to(mroot[..., None, :], mroot.shape[:-1] + (4, 8)),
+         jnp.broadcast_to(kbytes[:, None], mroot.shape[:-1] + (4, 1))],
+        axis=-1)                                           # [..., 4, 9]
+    kh = blake2s.hash_words(kin, 33)                       # [..., 4, 8]
+    ks = [F.words_be_to_limbs(kh[..., i, :]) for i in range(4)]
 
     # spot-check positions from l_merkle_root (main.rs:148-156)
-    positions = prg.pseudorandom_indices(
-        tree["l_merkle_root"], cfg.spot_checks, cfg.precision,
+    positions = prg.indices_from_entries(
+        entries[..., -1, :ns, :], cfg.spot_checks, cfg.precision,
         cfg.extension_factor)                                   # [..., 80]
     debug.check_bounds(positions, cfg.precision, "spot-check positions")
     aug = jnp.stack(
